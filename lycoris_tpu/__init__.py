@@ -1,0 +1,24 @@
+"""lycoris_tpu — a TPU-native (JAX/Flax/Pallas) rebuild of LyCORIS.
+
+Parameter-efficient fine-tuning adapters (LoRA/LoCon, LoHa, LoKr, DyLoRA,
+GLoRA, (IA)^3, Diag-OFT, BOFT, full, norms) for JAX/Flax models, with:
+
+- a stateless functional core (:mod:`lycoris_tpu.functional`),
+- adapter modules as pytree-friendly param dicts (:mod:`lycoris_tpu.modules`),
+- a network wrapper with preset/regex targeting that patches Flax param
+  trees instead of monkey-patching forwards (:mod:`lycoris_tpu.wrapper`),
+- safetensors checkpoint I/O byte-compatible with PyTorch LyCORIS files,
+- fused Pallas TPU kernels for the hot ΔW math (:mod:`lycoris_tpu.ops`),
+- a pjit/GSPMD sharded fine-tune path (:mod:`lycoris_tpu.parallel`).
+
+The reference implementation being rebuilt is KohakuBlueleaf/LyCORIS
+(pure PyTorch); citations in docstrings point into that tree as
+``lycoris/<file>:<lines>``.
+"""
+
+__version__ = "0.1.0"
+
+from . import functional
+from .logging import logger
+
+__all__ = ["functional", "logger", "__version__"]

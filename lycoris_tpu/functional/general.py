@@ -1,0 +1,288 @@
+"""Shared stateless math for all LyCORIS algorithms — TPU-native (pure JAX).
+
+Semantics-parity notes (citations into /root/reference):
+- ``factorization`` / ``power2factorization``: host-side integer code, same
+  contract as lycoris/functional/general.py:14-81.
+- ``rebuild_tucker`` / ``tucker_weight``: einsum rebuilds,
+  lycoris/functional/general.py:9-11, 84-92. On TPU these lower to MXU
+  matmuls via XLA; no hand kernel needed (they run once per layer per step
+  on tiny operands).
+- ``apply_dora_scale``: lycoris/functional/general.py:95-108.
+- ``FUNC_LIST`` dispatch-by-weight-ndim (general.py:6) becomes
+  :func:`op_by_ndim`, implemented with ``lax.conv_general_dilated`` in
+  channels-first (torch) layout so that adapter weights and safetensors
+  checkpoints stay bit-compatible with reference files.
+
+All tensor code here is jit-traceable; the integer factorizations are
+Python-level (static shapes) exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# Precision policy
+# ---------------------------------------------------------------------------
+#
+# JAX defaults matmuls to the fastest MXU mode (single bf16 pass) even for
+# float32 operands. Adapter *weight reconstruction* (diff_weight, Cayley,
+# tucker/kron rebuilds) operates on tiny factor matrices but feeds merged
+# weights, where BASELINE demands max|Δ| <= 1e-3 vs the fp32 reference — so
+# it always runs at Precision.HIGHEST (cost is negligible vs model FLOPs).
+# Activation-side ops (linear/convnd) follow the input dtype: fp32 inputs get
+# exact fp32 math, bf16 inputs ride the native MXU path.
+
+WEIGHT_PRECISION = lax.Precision.HIGHEST
+
+
+def op_precision(*arrs):
+    """Matmul precision for activation ops: exact for fp32 inputs, fast otherwise."""
+    if all(a.dtype == jnp.float32 for a in arrs if a is not None):
+        return lax.Precision.HIGHEST
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Integer factorizations (host-side, static)
+# ---------------------------------------------------------------------------
+
+
+def factorization(dimension: int, factor: int = -1) -> tuple[int, int]:
+    """Decompose ``dimension`` into (m, n), m <= n, m*n == dimension.
+
+    ``m`` is the largest divisor of ``dimension`` that is <= ``factor``
+    while minimizing m+n (i.e. closest-to-square under the cap). With
+    ``factor <= 0`` the cap is the dimension itself (most balanced split).
+    Contract matches reference lycoris/functional/general.py:14-56 exactly,
+    including the fast path when ``factor`` divides ``dimension``.
+    """
+    if factor > 0 and (dimension % factor) == 0:
+        m = factor
+        n = dimension // factor
+        if m > n:
+            n, m = m, n
+        return m, n
+    if factor < 0:
+        factor = dimension
+    m, n = 1, dimension
+    length = m + n
+    while m < n:
+        new_m = m + 1
+        while dimension % new_m != 0:
+            new_m += 1
+        new_n = dimension // new_m
+        if new_m + new_n > length or new_m > factor:
+            break
+        m, n = new_m, new_n
+    if m > n:
+        n, m = m, n
+    return m, n
+
+
+def power2factorization(dimension: int, factor: int = -1) -> tuple[int | None, int]:
+    """Find (m, n) with m even, n a power of two, m*n == dimension, m <= factor.
+
+    Returns (None, 0) when impossible. Matches reference
+    lycoris/functional/general.py:59-81 (used by BOFT).
+    """
+    if factor == -1:
+        factor = dimension
+
+    m = n = 0
+    while m <= factor:
+        m += 2
+        while dimension % m != 0 and m < dimension:
+            m += 2
+        if m > factor:
+            break
+        if (dimension // m).bit_count() == 1:
+            n = dimension // m
+
+    if n == 0:
+        return None, n
+    return dimension // n, n
+
+
+# ---------------------------------------------------------------------------
+# Tucker rebuilds
+# ---------------------------------------------------------------------------
+
+
+def rebuild_tucker(t: jax.Array, wa: jax.Array, wb: jax.Array) -> jax.Array:
+    """einsum("i j ..., i p, j r -> p r ...", t, wa, wb).
+
+    Reference: lycoris/functional/general.py:9-11.
+    """
+    return jnp.einsum("ij...,ip,jr->pr...", t, wa, wb, precision=WEIGHT_PRECISION)
+
+
+def tucker_weight(wa: jax.Array, wb: jax.Array, t: jax.Array) -> jax.Array:
+    """Reference lycoris/functional/general.py:90-92."""
+    temp = jnp.einsum("ij...,jr->ir...", t, wb, precision=WEIGHT_PRECISION)
+    return jnp.einsum("ij...,ir->rj...", temp, wa, precision=WEIGHT_PRECISION)
+
+
+def tucker_weight_from_conv(up: jax.Array, down: jax.Array, mid: jax.Array) -> jax.Array:
+    """Reference lycoris/functional/general.py:84-87 (conv kernels with 1x1 up/down)."""
+    up = up.reshape(up.shape[0], up.shape[1])
+    down = down.reshape(down.shape[0], down.shape[1])
+    return jnp.einsum("mn...,im,nj->ij...", mid, up, down, precision=WEIGHT_PRECISION)
+
+
+# ---------------------------------------------------------------------------
+# DoRA
+# ---------------------------------------------------------------------------
+
+
+def apply_dora_scale(org_weight: jax.Array, rebuild: jax.Array, dora_scale: jax.Array, scale) -> jax.Array:
+    """Weight-decompose (DoRA) merge, column-norm variant.
+
+    Reference: lycoris/functional/general.py:95-108 (wd_on_out=False path).
+    """
+    dora_norm_dims = org_weight.ndim - 1
+    weight = org_weight + rebuild
+    weight = weight.astype(dora_scale.dtype)
+    weight_norm = (
+        jnp.linalg.norm(
+            jnp.swapaxes(weight, 0, 1).reshape(weight.shape[1], -1),
+            axis=1,
+            keepdims=True,
+        )
+        .reshape(weight.shape[1], *[1] * dora_norm_dims)
+        .swapaxes(0, 1)
+    )
+    merged_scale1 = weight / weight_norm * dora_scale
+    diff_weight = merged_scale1 - org_weight
+    return org_weight + diff_weight * scale
+
+
+def apply_dora_scale_on_out(org_weight: jax.Array, rebuild: jax.Array, dora_scale: jax.Array, scale) -> jax.Array:
+    """Weight-decompose (DoRA) merge, row-norm (wd_on_out=True) variant.
+
+    Reference: lycoris/modules/locon.py:239-260 (wd_on_out branch).
+    """
+    weight = org_weight + rebuild
+    weight = weight.astype(dora_scale.dtype)
+    dora_norm_dims = org_weight.ndim - 1
+    weight_norm = jnp.linalg.norm(weight.reshape(weight.shape[0], -1), axis=1).reshape(
+        weight.shape[0], *[1] * dora_norm_dims
+    )
+    merged_scale1 = weight / weight_norm * dora_scale
+    diff_weight = merged_scale1 - org_weight
+    return org_weight + diff_weight * scale
+
+
+# ---------------------------------------------------------------------------
+# Channels-first linear / convNd ops (torch-layout; FUNC_LIST equivalent)
+# ---------------------------------------------------------------------------
+
+
+def _normalize_tuple(v, n: int):
+    if isinstance(v, (tuple, list)):
+        if len(v) == n:
+            return tuple(int(x) for x in v)
+        if len(v) == 1:
+            return tuple(int(v[0]) for _ in range(n))
+        raise ValueError(f"expected length-{n} tuple, got {v}")
+    return tuple(int(v) for _ in range(n))
+
+
+def linear(x: jax.Array, weight: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """y = x @ W^T + b with W of shape (out, in) — torch F.linear semantics."""
+    y = jnp.matmul(x, weight.T, precision=op_precision(x, weight))
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def convnd(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    stride=1,
+    padding=0,
+    dilation=1,
+    groups: int = 1,
+) -> jax.Array:
+    """Channels-first N-d convolution with torch-layout weight (O, I/g, *k).
+
+    torch F.conv{1,2,3}d semantics on jax arrays; lowers to a single XLA
+    convolution (MXU) regardless of N.
+    """
+    nd = weight.ndim - 2
+    stride = _normalize_tuple(stride, nd)
+    dilation = _normalize_tuple(dilation, nd)
+    if isinstance(padding, str):
+        pad = padding.upper()
+        if pad not in ("SAME", "VALID"):
+            raise ValueError(f"unsupported padding {padding}")
+    else:
+        p = _normalize_tuple(padding, nd)
+        pad = [(pi, pi) for pi in p]
+    spatial = "DHW"[-nd:] if nd <= 3 else None
+    if spatial is None:
+        raise ValueError(f"unsupported conv ndim {nd}")
+    lhs_spec = "NC" + spatial
+    rhs_spec = "OI" + spatial
+    dn = lax.conv_dimension_numbers(x.shape, weight.shape, (lhs_spec, rhs_spec, lhs_spec))
+    y = lax.conv_general_dilated(
+        x,
+        weight,
+        window_strides=stride,
+        padding=pad,
+        rhs_dilation=dilation,
+        dimension_numbers=dn,
+        feature_group_count=groups,
+    )
+    if bias is not None:
+        y = y + bias.reshape(1, -1, *[1] * nd)
+    return y
+
+
+conv1d = partial(convnd)
+conv2d = partial(convnd)
+conv3d = partial(convnd)
+
+# FUNC_LIST equivalent: index by weight ndim (reference general.py:6)
+FUNC_LIST = [None, None, linear, convnd, convnd, convnd]
+
+
+def op_by_ndim(ndim: int):
+    """Dispatch helper mirroring reference ``FUNC_LIST[w.dim()]``."""
+    if ndim == 2:
+        return linear
+    if ndim in (3, 4, 5):
+        return convnd
+    raise ValueError(f"no op for weight ndim {ndim}")
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch-parity)
+# ---------------------------------------------------------------------------
+
+
+def kaiming_uniform(key: jax.Array, shape, a: float = math.sqrt(5), dtype=jnp.float32) -> jax.Array:
+    """torch.nn.init.kaiming_uniform_ parity: U(-b, b), b = sqrt(6/((1+a^2)*fan_in)).
+
+    fan_in for (out, in, *k) tensors = in * prod(k), matching torch's
+    _calculate_fan_in_and_fan_out.
+    """
+    fan_in = shape[1] * math.prod(shape[2:]) if len(shape) > 1 else shape[0]
+    gain = math.sqrt(2.0 / (1.0 + a * a))
+    bound = gain * math.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype=dtype, minval=-bound, maxval=bound)
+
+
+def normal_init(key: jax.Array, shape, std: float = 1.0, dtype=jnp.float32) -> jax.Array:
+    return jax.random.normal(key, shape, dtype=dtype) * std
+
+
+def zeros_init(_key, shape, dtype=jnp.float32) -> jax.Array:
+    return jnp.zeros(shape, dtype=dtype)

@@ -1,0 +1,175 @@
+"""Functional-core parity tests.
+
+Two gates (SURVEY.md §4):
+1. diff-vs-bypass equivalence: ``bypass_forward_diff(x, ...) ≈ op(x, diff_weight(...))``
+   per algorithm x layer kind, with the reference's per-dtype MSE epsilons
+   (reference test/functional.py:12-16, 52-87).
+2. cross-framework goldens: our jnp diff_weight matches the PyTorch
+   reference's diff_weight bit-for-bit-ish (<=1e-5) on identical params.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lycoris_tpu.functional import locon, loha, lokr, diag_oft, boft, general
+
+EPS = {jnp.float32: 5e-6, jnp.bfloat16: 5e-4}
+
+DIM = 16
+
+LAYER_CASES = {
+    "linear": ((DIM, DIM), (1, DIM)),
+    "conv1d": ((DIM, DIM, 3), (1, DIM, 16)),
+    "conv2d": ((DIM, DIM, 3, 3), (1, DIM, 16, 16)),
+    "conv3d": ((DIM, DIM, 3, 3, 3), (1, DIM, 8, 8, 8)),
+}
+
+
+def _op_for(w):
+    return general.op_by_ndim(w.ndim)
+
+
+def _noise_params(key, params, scale=0.01):
+    out = []
+    for p in params:
+        if p is None:
+            out.append(None)
+        else:
+            key, sub = jax.random.split(key)
+            out.append(p + jax.random.normal(sub, p.shape, p.dtype) * scale)
+    return out
+
+
+@pytest.mark.parametrize("layer", list(LAYER_CASES))
+@pytest.mark.parametrize("algo", ["locon", "loha", "lokr", "diag_oft", "boft"])
+def test_diff_vs_bypass(algo, layer, rng):
+    mod = {"locon": locon, "loha": loha, "lokr": lokr, "diag_oft": diag_oft, "boft": boft}[algo]
+    w_shape, x_shape = LAYER_CASES[layer]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    w = jax.random.normal(k1, w_shape)
+    x = jax.random.normal(k2, x_shape)
+    op = _op_for(w)
+    y = op(x, w)
+
+    if algo in ("diag_oft", "boft"):
+        params = list(mod.weight_gen(w_shape, 4))
+        params = _noise_params(k3, params)
+        diff_w = mod.diff_weight(w, *params)
+        diff_y = mod.bypass_forward_diff(y, *params, need_transpose=w.ndim > 2)
+    else:
+        if algo == "loha" and w.ndim > 2:
+            # loha non-tucker factors a conv weight flattened to (O, I*prod(k));
+            # that path is exercised at module level, see test_modules.py
+            pytest.skip("loha non-tucker conv handled at module level (flattened)")
+        params = list(mod.weight_gen(k3, w_shape, 4, tucker=False))
+        params = _noise_params(k3, params)
+        diff_w = mod.diff_weight(*params)
+        diff_y = mod.bypass_forward_diff(x, y, *params)
+
+    diff_y_from_w = op(x, diff_w.astype(x.dtype))
+    mse = jnp.mean((diff_y - diff_y_from_w) ** 2)
+    assert float(mse) < EPS[jnp.float32], f"{algo}/{layer} mse={float(mse)}"
+
+
+@pytest.mark.parametrize("layer", ["conv1d", "conv2d", "conv3d"])
+@pytest.mark.parametrize("algo", ["locon", "loha", "lokr"])
+def test_diff_vs_bypass_tucker(algo, layer, rng):
+    mod = {"locon": locon, "loha": loha, "lokr": lokr}[algo]
+    w_shape, x_shape = LAYER_CASES[layer]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    w = jax.random.normal(k1, w_shape)
+    x = jax.random.normal(k2, x_shape)
+    op = _op_for(w)
+    y = op(x, w)
+
+    params = list(mod.weight_gen(k3, w_shape, 4, tucker=True))
+    params = _noise_params(k3, params)
+    diff_w = mod.diff_weight(*params)
+    diff_y = mod.bypass_forward_diff(x, y, *params)
+    diff_y_from_w = op(x, diff_w.astype(x.dtype))
+    mse = jnp.mean((diff_y - diff_y_from_w) ** 2)
+    assert float(mse) < EPS[jnp.float32], f"{algo}/{layer} tucker mse={float(mse)}"
+
+
+# ---------------------------------------------------------------------------
+# Cross-framework goldens vs the PyTorch reference
+# ---------------------------------------------------------------------------
+
+
+def _t2j(t):
+    return jnp.asarray(t.detach().cpu().numpy())
+
+
+@pytest.mark.parametrize("layer", ["linear", "conv2d"])
+@pytest.mark.parametrize("algo", ["locon", "loha", "lokr", "diag_oft", "boft"])
+def test_diff_weight_matches_reference(algo, layer, ref):
+    import torch
+
+    torch.manual_seed(0)
+    from lycoris.functional import locon as r_locon, loha as r_loha, lokr as r_lokr
+    from lycoris.functional import diag_oft as r_oft, boft as r_boft
+
+    rmod = {"locon": r_locon, "loha": r_loha, "lokr": r_lokr, "diag_oft": r_oft, "boft": r_boft}[algo]
+    jmod = {"locon": locon, "loha": loha, "lokr": lokr, "diag_oft": diag_oft, "boft": boft}[algo]
+    w_shape, _ = LAYER_CASES[layer]
+    w_t = torch.randn(*w_shape)
+
+    if algo in ("diag_oft", "boft"):
+        r_params = list(rmod.weight_gen(w_t, 4))
+    else:
+        r_params = list(rmod.weight_gen(w_t, 4, tucker=False))
+    r_params = [None if p is None else p + torch.randn_like(p) * 0.01 for p in r_params]
+    j_params = [None if p is None else _t2j(p) for p in r_params]
+
+    if algo in ("diag_oft", "boft"):
+        r_diff = rmod.diff_weight(w_t, *r_params)
+        j_diff = jmod.diff_weight(_t2j(w_t), *j_params)
+    else:
+        if algo == "loha" and len(w_shape) > 2:
+            pytest.skip("reference loha non-tucker conv diff is 2D (module-level concern)")
+        r_diff = rmod.diff_weight(*r_params)
+        j_diff = jmod.diff_weight(*j_params)
+
+    np.testing.assert_allclose(
+        np.asarray(j_diff), r_diff.detach().numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_factorization_matches_reference(ref):
+    from lycoris.functional.general import factorization as rf, power2factorization as rp2
+
+    for dim in [127, 128, 250, 360, 512, 1024, 640, 768, 320, 2048, 1280, 96, 7, 1]:
+        for factor in [-1, 2, 4, 8, 16]:
+            assert general.factorization(dim, factor) == rf(dim, factor), (dim, factor)
+            assert general.power2factorization(dim, factor) == rp2(dim, factor), (dim, factor)
+
+
+def test_hada_weight_grad_matches_reference(ref):
+    """LoHa custom-vjp backward parity against the reference autograd.Function."""
+    import torch
+    from lycoris.functional.loha import make_weight as r_make_weight
+
+    torch.manual_seed(1)
+    O = I = 16
+    R = 4
+    ws = [torch.randn(R, I), torch.randn(O, R), torch.randn(R, I), torch.randn(O, R)]
+    for w in ws:
+        w.requires_grad_(True)
+    scale = torch.tensor(0.5)
+    out = r_make_weight(ws[0], ws[1], ws[2], ws[3], scale)
+    g = torch.randn_like(out)
+    out.backward(g)
+    r_grads = [w.grad.numpy() for w in ws]
+
+    j_ws = [jnp.asarray(w.detach().numpy()) for w in ws]
+    g_j = jnp.asarray(g.numpy())
+
+    def f(w1d, w1u, w2d, w2u):
+        return loha.hada_weight(w1d, w1u, w2d, w2u, 0.5)
+
+    _, vjp = jax.vjp(f, *j_ws)
+    j_grads = vjp(g_j)
+    for jg, rg in zip(j_grads, r_grads):
+        np.testing.assert_allclose(np.asarray(jg), rg, rtol=1e-4, atol=1e-5)
