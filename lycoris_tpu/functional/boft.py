@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .general import power2factorization
+from .general import power2factorization, op_precision
 from .diag_oft import get_r
 
 
@@ -61,7 +61,7 @@ def diff_weight(org_weight: jax.Array, *weights, constraint=None) -> jax.Array:
             .swapaxes(1, 2)
             .reshape(-1, b, *rest)
         )
-        inp = jnp.einsum("bij,bj...->bi...", bi, inp)
+        inp = jnp.einsum("bij,bj...->bi...", bi, inp, precision=op_precision(bi, inp))
         inp = inp.reshape(-1, *rest).reshape(-1, k, g, *rest).swapaxes(1, 2).reshape(-1, *rest)
 
     if rescale is not None:
@@ -92,7 +92,7 @@ def bypass_forward_diff(org_out, *weights, constraint=None, need_transpose=False
             .reshape(*lead, -1)
             .reshape(*lead, -1, b)
         )
-        inp = jnp.einsum("bij,...bj->...bi", bi, inp)
+        inp = jnp.einsum("bij,...bj->...bi", bi, inp, precision=op_precision(bi, inp))
         inp = inp.reshape(*lead, -1).reshape(*lead, -1, k, g).swapaxes(-2, -1).reshape(*lead, -1)
 
     if rescale is not None:

@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .general import factorization
+from .general import factorization, op_precision
 
 
 def get_r(oft_blocks: jax.Array, I: jax.Array | None = None, constraint=0) -> jax.Array:
@@ -37,7 +37,8 @@ def get_r(oft_blocks: jax.Array, I: jax.Array | None = None, constraint=0) -> ja
         normed_q = q * jnp.minimum(1.0, constraint / q_norm)
     else:
         normed_q = q
-    r = (I + normed_q) @ jnp.linalg.inv((I - normed_q).astype(jnp.float32)).astype(normed_q.dtype)
+    inv = jnp.linalg.inv((I - normed_q).astype(jnp.float32)).astype(normed_q.dtype)
+    r = jnp.matmul(I + normed_q, inv, precision=op_precision(normed_q))
     return r
 
 
@@ -60,7 +61,9 @@ def diff_weight(org_weight: jax.Array, *weights, constraint=None) -> jax.Array:
     shape = org_weight.shape[1:]
     org = org_weight.astype(r.dtype).reshape(block_num, block_size, *shape)
     # R = I at init (blocks are zero), so ΔW = 0 at step 0.
-    weight = jnp.einsum("knm,kn...->km...", r - I, org).reshape(-1, *shape)
+    weight = jnp.einsum(
+        "knm,kn...->km...", r - I, org, precision=op_precision(r, org)
+    ).reshape(-1, *shape)
     if rescale is not None:
         weight = rescale * weight
         weight = weight + (rescale - 1) * org_weight
@@ -81,7 +84,10 @@ def bypass_forward_diff(org_out, *weights, constraint=None, need_transpose=False
     org_out = org_out.astype(r.dtype)
     lead = org_out.shape[:-1]
     oft_out = jnp.einsum(
-        "knm,...kn->...km", r - I, org_out.reshape(*lead, block_num, block_size)
+        "knm,...kn->...km",
+        r - I,
+        org_out.reshape(*lead, block_num, block_size),
+        precision=op_precision(r, org_out),
     )
     out = oft_out.reshape(*lead, -1)
     if rescale is not None:

@@ -240,6 +240,7 @@ def convnd(
         rhs_dilation=dilation,
         dimension_numbers=dn,
         feature_group_count=groups,
+        precision=op_precision(x, weight),
     )
     if bias is not None:
         y = y + bias.reshape(1, -1, *[1] * nd)

@@ -21,6 +21,7 @@ from .general import (
     linear,
     convnd,
     op_by_ndim,
+    op_precision,
     rebuild_tucker,
 )
 
@@ -50,7 +51,11 @@ def diff_weight(*weights, gamma=1.0) -> jax.Array:
     O = u.shape[0]
     u = u * gamma
     if m is None:
-        result = u.reshape(-1, u.shape[1]) @ d.reshape(d.shape[0], -1)
+        result = jnp.matmul(
+            u.reshape(-1, u.shape[1]),
+            d.reshape(d.shape[0], -1),
+            precision=op_precision(u, d),
+        )
     else:
         R, R2, *k = m.shape
         u = u.reshape(u.shape[0], -1).T

@@ -23,12 +23,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .general import kaiming_uniform, normal_init, op_by_ndim
+from .general import kaiming_uniform, normal_init, op_by_ndim, op_precision
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=op_precision(a, b))
+
+
+def _es(eq, *ops):
+    return jnp.einsum(eq, *ops, precision=op_precision(*ops))
 
 
 @jax.custom_vjp
 def hada_weight(w1d, w1u, w2d, w2u, scale=1.0):
-    return (w1u @ w1d) * (w2u @ w2d) * scale
+    return _mm(w1u, w1d) * _mm(w2u, w2d) * scale
 
 
 def _hada_weight_fwd(w1d, w1u, w2d, w2u, scale):
@@ -39,12 +47,12 @@ def _hada_weight_fwd(w1d, w1u, w2d, w2u, scale):
 def _hada_weight_bwd(res, grad_out):
     w1d, w1u, w2d, w2u, scale = res
     grad_out = grad_out * scale
-    temp = grad_out * (w2u @ w2d)
-    grad_w1u = temp @ w1d.T
-    grad_w1d = w1u.T @ temp
-    temp = grad_out * (w1u @ w1d)
-    grad_w2u = temp @ w2d.T
-    grad_w2d = w2u.T @ temp
+    temp = grad_out * _mm(w2u, w2d)
+    grad_w1u = _mm(temp, w1d.T)
+    grad_w1d = _mm(w1u.T, temp)
+    temp = grad_out * _mm(w1u, w1d)
+    grad_w2u = _mm(temp, w2d.T)
+    grad_w2d = _mm(w2u.T, temp)
     return grad_w1d, grad_w1u, grad_w2d, grad_w2u, None
 
 
@@ -53,8 +61,8 @@ hada_weight.defvjp(_hada_weight_fwd, _hada_weight_bwd)
 
 @jax.custom_vjp
 def hada_weight_tucker(t1, w1d, w1u, t2, w2d, w2u, scale=1.0):
-    rebuild1 = jnp.einsum("ij...,jr,ip->pr...", t1, w1d, w1u)
-    rebuild2 = jnp.einsum("ij...,jr,ip->pr...", t2, w2d, w2u)
+    rebuild1 = _es("ij...,jr,ip->pr...", t1, w1d, w1u)
+    rebuild2 = _es("ij...,jr,ip->pr...", t2, w2d, w2u)
     return rebuild1 * rebuild2 * scale
 
 
@@ -69,21 +77,21 @@ def _hada_weight_tucker_bwd(res, grad_out):
     t1, w1d, w1u, t2, w2d, w2u, scale = res
     grad_out = grad_out * scale
 
-    temp = jnp.einsum("ij...,jr->ir...", t2, w2d)
-    rebuild = jnp.einsum("ij...,ir->rj...", temp, w2u)
+    temp = _es("ij...,jr->ir...", t2, w2d)
+    rebuild = _es("ij...,ir->rj...", temp, w2u)
     grad_w = rebuild * grad_out
-    grad_w1u = jnp.einsum("rj...,ij...->ri", temp, grad_w)
-    grad_temp = jnp.einsum("ij...,ir->rj...", grad_w, w1u.T)
-    grad_w1d = jnp.einsum("ir...,ij...->rj", t1, grad_temp)
-    grad_t1 = jnp.einsum("ij...,jr->ir...", grad_temp, w1d.T)
+    grad_w1u = _es("rj...,ij...->ri", temp, grad_w)
+    grad_temp = _es("ij...,ir->rj...", grad_w, w1u.T)
+    grad_w1d = _es("ir...,ij...->rj", t1, grad_temp)
+    grad_t1 = _es("ij...,jr->ir...", grad_temp, w1d.T)
 
-    temp = jnp.einsum("ij...,jr->ir...", t1, w1d)
-    rebuild = jnp.einsum("ij...,ir->rj...", temp, w1u)
+    temp = _es("ij...,jr->ir...", t1, w1d)
+    rebuild = _es("ij...,ir->rj...", temp, w1u)
     grad_w = rebuild * grad_out
-    grad_w2u = jnp.einsum("rj...,ij...->ri", temp, grad_w)
-    grad_temp = jnp.einsum("ij...,ir->rj...", grad_w, w2u.T)
-    grad_w2d = jnp.einsum("ir...,ij...->rj", t2, grad_temp)
-    grad_t2 = jnp.einsum("ij...,jr->ir...", grad_temp, w2d.T)
+    grad_w2u = _es("rj...,ij...->ri", temp, grad_w)
+    grad_temp = _es("ij...,ir->rj...", grad_w, w2u.T)
+    grad_w2d = _es("ir...,ij...->rj", t2, grad_temp)
+    grad_t2 = _es("ij...,jr->ir...", grad_temp, w2d.T)
 
     return grad_t1, grad_w1d, grad_w1u, grad_t2, grad_w2d, grad_w2u, None
 

@@ -26,8 +26,13 @@ from .general import (
     kaiming_uniform,
     linear,
     op_by_ndim,
+    op_precision,
     rebuild_tucker,
 )
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=op_precision(a, b))
 
 
 def make_kron(w1: jax.Array, w2: jax.Array, scale=1.0) -> jax.Array:
@@ -132,11 +137,11 @@ def diff_weight(*weights, gamma=1.0) -> jax.Array:
         rank = gamma
     scale = gamma / rank
     if w1 is None:
-        w1 = w1a @ w1b
+        w1 = _mm(w1a, w1b)
     if w2 is None:
         if t is None:
             r, o, *k = w2b.shape
-            w2 = w2a @ w2b.reshape(r, -1)
+            w2 = _mm(w2a, w2b.reshape(r, -1))
             w2 = w2.reshape(-1, o, *k)
         else:
             w2 = rebuild_tucker(t, w2a, w2b)
@@ -173,7 +178,7 @@ def bypass_forward_diff(h, org_out, *weights, gamma=1.0, extra_args={}):
         elif is_conv:
             b = b.reshape(*b.shape, *[1] * (dim - 2))
 
-    c = w1 if use_w1 else w1a @ w1b
+    c = w1 if use_w1 else _mm(w1a, w1b)
     uq = c.shape[1]
 
     if is_conv:

@@ -6,10 +6,17 @@ Must set env vars before jax initializes. Mirrors SURVEY.md §4 implication
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin force-selects itself programmatically (ignores the
+# JAX_PLATFORMS env var), so pin the platform through the config API unless
+# the user explicitly asks for TPU tests.
+if os.environ.get("LYCORIS_TPU_TESTS", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
