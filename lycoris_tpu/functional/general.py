@@ -251,6 +251,37 @@ conv1d = partial(convnd)
 conv2d = partial(convnd)
 conv3d = partial(convnd)
 
+
+def layer_norm(x: jax.Array, normalized_shape, weight=None, bias=None, eps: float = 1e-5) -> jax.Array:
+    """torch F.layer_norm semantics: normalize over the trailing dims."""
+    if isinstance(normalized_shape, int):
+        normalized_shape = (normalized_shape,)
+    axes = tuple(range(x.ndim - len(normalized_shape), x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    y = (x - mean) * lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * weight
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def group_norm(x: jax.Array, num_groups: int, weight=None, bias=None, eps: float = 1e-5) -> jax.Array:
+    """torch F.group_norm semantics (channels-first input (N, C, *spatial))."""
+    n, c, *spatial = x.shape
+    g = x.reshape(n, num_groups, c // num_groups, *spatial)
+    axes = tuple(range(2, g.ndim))
+    mean = jnp.mean(g, axis=axes, keepdims=True)
+    var = jnp.var(g, axis=axes, keepdims=True)
+    y = ((g - mean) * lax.rsqrt(var + eps)).reshape(x.shape)
+    exp = (1, c, *[1] * len(spatial))
+    if weight is not None:
+        y = y * weight.reshape(exp)
+    if bias is not None:
+        y = y + bias.reshape(exp)
+    return y
+
 # FUNC_LIST equivalent: index by weight ndim (reference general.py:6)
 FUNC_LIST = [None, None, linear, convnd, convnd, convnd]
 

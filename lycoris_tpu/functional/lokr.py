@@ -159,10 +159,18 @@ def bypass_forward_diff(h, org_out, *weights, gamma=1.0, extra_args={}):
     w1, w1a, w1b, w2, w2a, w2b, t = weights
     use_w1 = w1 is not None
     use_w2 = w2 is not None
+    rank = w1b.shape[0] if not use_w1 else w2b.shape[0] if not use_w2 else gamma
+    return bypass_diff_with_scale(h, *weights, scale=gamma / rank, extra_args=extra_args)
+
+
+def bypass_diff_with_scale(h, *weights, scale=1.0, extra_args={}):
+    """Core of the kron bypass with an explicit output scale (module layer
+    passes α/r·scalar·multiplier directly; see modules/lokr.py)."""
+    w1, w1a, w1b, w2, w2a, w2b, t = weights
+    use_w1 = w1 is not None
+    use_w2 = w2 is not None
     tucker = t is not None
     dim = t.ndim if tucker else w2.ndim if w2 is not None else w2b.ndim
-    rank = w1b.shape[0] if not use_w1 else w2b.shape[0] if not use_w2 else gamma
-    scale = gamma / rank
     is_conv = dim > 2
     op = op_by_ndim(dim)
     kw_dict = extra_args if is_conv else {}
