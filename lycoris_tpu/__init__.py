@@ -19,6 +19,22 @@ The reference implementation being rebuilt is KohakuBlueleaf/LyCORIS
 __version__ = "0.1.0"
 
 from . import functional
+from . import modules
 from .logging import logger
+from .graph import ModelGraph
+from .wrapper import (
+    LycorisNetwork,
+    create_lycoris,
+    create_lycoris_from_weights,
+)
 
-__all__ = ["functional", "logger", "__version__"]
+__all__ = [
+    "functional",
+    "modules",
+    "logger",
+    "ModelGraph",
+    "LycorisNetwork",
+    "create_lycoris",
+    "create_lycoris_from_weights",
+    "__version__",
+]

@@ -1,0 +1,177 @@
+"""Torch-layout flax linen primitives — the lycoris_tpu perf path.
+
+These layers store weights in torch layout ((out, in, *k), channels-first
+activations) so that:
+- adapter modules apply with ZERO layout conversion at runtime (flax-native
+  Dense/Conv need kernel transposes + NHWC<->NCHW moves per call);
+- checkpoints round-trip to/from PyTorch state dicts without key or layout
+  munging.
+
+Each class exposes ``lycoris_layer_info`` which the graph builder
+(:func:`lycoris_tpu.graph.adapter_for_linen`) uses to treat it as a native
+torch-layout layer. Class names intentionally mirror torch
+(Linear/Conv2d/...) so reference presets that target "Linear"/"Conv2d" work
+unchanged.
+
+On TPU, channels-first convs lower to the same XLA convolutions as NHWC ones
+(XLA picks its own internal layout for the MXU), so this costs nothing at
+runtime while saving the adapter-side transposes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..functional import general
+from ..modules.base import LayerInfo
+
+
+def _kaiming_init(shape, dtype):
+    def init(key):
+        return general.kaiming_uniform(key, shape, dtype=dtype)
+
+    return init
+
+
+class Linear(nn.Module):
+    """y = x @ W.T + b, W stored (out, in) — torch nn.Linear parity."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        w = self.param("weight", lambda k: general.kaiming_uniform(k, (self.features, in_dim), dtype=self.param_dtype))
+        b = None
+        if self.use_bias:
+            bound = 1 / math.sqrt(in_dim)
+            b = self.param(
+                "bias",
+                lambda k: jax.random.uniform(k, (self.features,), self.param_dtype, -bound, bound),
+            )
+        dtype = self.dtype or x.dtype
+        y = general.linear(x.astype(dtype), w.astype(dtype), None if b is None else b.astype(dtype))
+        return y
+
+    def lycoris_layer_info(self, params):
+        w = params["weight"]
+        return LayerInfo.linear(w.shape[0], w.shape[1], "bias" in params)
+
+
+class _ConvNd(nn.Module):
+    features: int
+    kernel_size: Any = 3
+    stride: Any = 1
+    padding: Any = 0
+    dilation: Any = 1
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    _nd: int = 0
+
+    def _ksize(self):
+        k = self.kernel_size
+        return (k,) * self._nd if isinstance(k, int) else tuple(k)
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[1]
+        k = self._ksize()
+        w_shape = (self.features, in_dim // self.groups, *k)
+        w = self.param("weight", lambda key: general.kaiming_uniform(key, w_shape, dtype=self.param_dtype))
+        b = None
+        if self.use_bias:
+            fan_in = (in_dim // self.groups) * math.prod(k)
+            bound = 1 / math.sqrt(fan_in)
+            b = self.param(
+                "bias",
+                lambda key: jax.random.uniform(key, (self.features,), self.param_dtype, -bound, bound),
+            )
+        dtype = self.dtype or x.dtype
+        return general.convnd(
+            x.astype(dtype),
+            w.astype(dtype),
+            None if b is None else b.astype(dtype),
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+        )
+
+    def lycoris_layer_info(self, params):
+        w = params["weight"]
+        nd = w.ndim - 2
+        return LayerInfo.conv(
+            nd,
+            w.shape[0],
+            w.shape[1] * self.groups,
+            w.shape[2:],
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+            bias="bias" in params,
+        )
+
+
+class Conv1d(_ConvNd):
+    _nd: int = 1
+
+
+class Conv2d(_ConvNd):
+    _nd: int = 2
+
+
+class Conv3d(_ConvNd):
+    _nd: int = 3
+
+
+class LayerNorm(nn.Module):
+    """torch nn.LayerNorm parity (trailing-dim normalization)."""
+
+    dim: int
+    eps: float = 1e-5
+    use_bias: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", lambda k: jnp.ones((self.dim,), self.param_dtype))
+        b = self.param("bias", lambda k: jnp.zeros((self.dim,), self.param_dtype)) if self.use_bias else None
+        return general.layer_norm(x, (self.dim,), w, b, self.eps)
+
+    def lycoris_layer_info(self, params):
+        return LayerInfo.layer_norm(params["weight"].shape[0], self.eps, "bias" in params)
+
+
+class GroupNorm(nn.Module):
+    """torch nn.GroupNorm parity (channels-first)."""
+
+    num_groups: int
+    num_channels: int
+    eps: float = 1e-5
+    use_bias: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", lambda k: jnp.ones((self.num_channels,), self.param_dtype))
+        b = (
+            self.param("bias", lambda k: jnp.zeros((self.num_channels,), self.param_dtype))
+            if self.use_bias
+            else None
+        )
+        return general.group_norm(x, self.num_groups, w, b, self.eps)
+
+    def lycoris_layer_info(self, params):
+        return LayerInfo.group_norm(self.num_groups, self.num_channels, self.eps, "bias" in params)

@@ -201,11 +201,13 @@ class LohaModule(LycorisBaseModule):
         return weight
 
     def get_diff_weight(self, params=None, multiplier=1.0, rng=None, train=False):
-        # NOTE: reference quirk (loha.py:228-233): get_weight is already
-        # γ-scaled, and get_diff_weight multiplies by scale again. We keep the
-        # reference merge semantics verbatim for checkpoint/merge parity.
-        scale = self.scale * multiplier
-        return self.get_weight(params, rng, train) * scale, None
+        # Deviation from the reference (loha.py:228-233): the reference
+        # multiplies get_weight (already γ-scaled) by scale AGAIN on the merge
+        # path, so merge-then-run ≠ run-with-adapter whenever alpha≠rank. We
+        # use forward/webui semantics — ΔW = (α/r)·(w1a@w1b ⊙ w2a@w2b)·scalar
+        # — per SURVEY §7's do-not-copy list.
+        diff = self.get_weight(params, rng, train) * self._p(params, "scalar")
+        return diff * multiplier, None
 
     def get_merged_weight(self, org_weight, org_bias=None, params=None, multiplier=1.0):
         diff = self.get_diff_weight(params, multiplier=1.0)[0].reshape(org_weight.shape)

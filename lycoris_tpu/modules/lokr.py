@@ -305,10 +305,11 @@ class LokrModule(LycorisBaseModule):
         return weight
 
     def get_diff_weight(self, params=None, multiplier=1.0, rng=None, train=False):
-        # Reference quirk kept: get_weight is already γ-scaled and this
-        # multiplies by scale again (lokr.py:383-388) — merge parity.
-        scale = self.scale * multiplier
-        return self.get_weight(params, rng, train) * scale, None
+        # Deviation from the reference (lokr.py:383-388): forward/webui merge
+        # semantics — ΔW = (α/r)·(w1 ⊗ w2)·scalar, no double-scale — so
+        # merge-then-run == run-with-adapter (SURVEY §7 do-not-copy list).
+        diff = self.get_weight(params, rng, train) * self._p(params, "scalar")
+        return diff * multiplier, None
 
     def get_merged_weight(self, org_weight, org_bias=None, params=None, multiplier=1.0):
         diff = self.get_diff_weight(params, multiplier=1.0)[0].reshape(org_weight.shape)

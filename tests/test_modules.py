@@ -194,7 +194,11 @@ def test_merged_weight_matches_reference(algo, layer, ref):
     t_layer = TORCH_LAYER[layer](torch)
     mod_path, cls_name = REF_ALGO[algo]
     r_cls = getattr(importlib.import_module(mod_path), cls_name)
-    r_mod = r_cls("test", t_layer, 1.0, lora_dim=4, alpha=1.0)
+    # loha/lokr: use alpha=rank so the reference's merge double-scale quirk
+    # (loha.py:228-233, fixed in ours per SURVEY §7) is invisible and both
+    # frameworks compute the same merged weight
+    alpha = 4.0 if algo in ("loha", "lokr") else 1.0
+    r_mod = r_cls("test", t_layer, 1.0, lora_dim=4, alpha=alpha)
 
     # noise every param, push through both frameworks
     with torch.no_grad():
