@@ -1,0 +1,169 @@
+"""Minimal TPU diffusion fine-tune trainer — the kohya train-loop equivalent.
+
+The reference delegates training to kohya sd-scripts (README.md:96-116); this
+module provides the TPU-native slice needed to fine-tune and benchmark:
+- a DDPM noise schedule + epsilon-prediction MSE loss (what kohya's SD
+  training loop computes),
+- a single jitted train step differentiating ONLY the adapter param tree
+  (frozen base params are a closed-over constant input),
+- GSPMD sharding: batch over the ``data`` mesh axis, frozen base optionally
+  sharded over ``model``, adapters + opt state replicated
+  (lycoris_tpu.parallel.sharding).
+
+Everything — base forward, adapter deltas, dropout, loss, optax update — is
+one XLA computation per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .parallel import sharding as shd
+
+
+# ---------------------------------------------------------------------------
+# DDPM schedule (linear beta, eps-prediction — kohya SD default)
+# ---------------------------------------------------------------------------
+
+
+def ddpm_alphas_cumprod(num_steps: int = 1000, beta_start=0.00085, beta_end=0.012):
+    betas = jnp.linspace(beta_start**0.5, beta_end**0.5, num_steps) ** 2
+    return jnp.cumprod(1.0 - betas)
+
+
+@dataclasses.dataclass
+class TrainState:
+    adapter_params: Any
+    opt_state: Any
+    step: int = 0
+
+
+class DiffusionTrainer:
+    """Fine-tune adapters on a UNet with an eps-prediction MSE objective."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        net,  # LycorisNetwork (or kohya unet sub-network)
+        lr: float = 1e-4,
+        optimizer=None,
+        mesh=None,
+        num_train_timesteps: int = 1000,
+        weight_dtype=jnp.bfloat16,
+        shard_base: bool = False,
+        param_groups=None,  # optional LoRA+-style [(label, tree, lr)] groups
+    ):
+        self.model = model
+        self.net = net
+        self.mesh = mesh if mesh is not None else shd.make_mesh()
+        self.alphas_cumprod = ddpm_alphas_cumprod(num_train_timesteps)
+        self.num_train_timesteps = num_train_timesteps
+        self.weight_dtype = weight_dtype
+
+        params = variables["params"] if "params" in variables else variables
+        params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, weight_dtype), params)
+        if shard_base and self.mesh.shape.get("model", 1) > 1:
+            self.base_params, self.base_specs = shd.shard_base_params(params, self.mesh)
+        else:
+            self.base_params = shd.replicate(params, self.mesh)
+            self.base_specs = shd.replicated_spec_tree(params)
+
+        self.adapter_params = shd.replicate(net.trainable_params(), self.mesh)
+        if optimizer is None:
+            optimizer = optax.adamw(lr)
+        self.optimizer = optimizer
+        self.opt_state = shd.replicate(self.optimizer.init(self.adapter_params), self.mesh)
+        self._step_fn = self._build_step()
+        self.step = 0
+
+    # -- the jitted step ------------------------------------------------------
+    def _build_step(self):
+        mesh = self.mesh
+        model = self.model
+        net = self.net
+        alphas_cumprod = self.alphas_cumprod
+        optimizer = self.optimizer
+        wd = self.weight_dtype
+
+        def loss_fn(adapter_params, base_params, batch, rng):
+            latents = batch["latents"].astype(wd)
+            context = batch["context"].astype(wd)
+            added = batch.get("added_cond")
+            noise_rng, t_rng, drop_rng = jax.random.split(rng, 3)
+            b = latents.shape[0]
+            noise = jax.random.normal(noise_rng, latents.shape, dtype=jnp.float32)
+            t = jax.random.randint(t_rng, (b,), 0, alphas_cumprod.shape[0])
+            a = alphas_cumprod[t].reshape(b, 1, 1, 1)
+            noisy = (jnp.sqrt(a) * latents.astype(jnp.float32) + jnp.sqrt(1 - a) * noise).astype(wd)
+
+            # full adapter tree = init buffers overlaid with trainable leaves
+            full_tree = net.params_tree()
+            for ln, sub in adapter_params.items():
+                full_tree[ln] = {**full_tree[ln], **sub}
+
+            kwargs = {}
+            if added is not None:
+                kwargs["added_cond"] = added.astype(wd)
+            pred = net(
+                {"params": base_params},
+                noisy,
+                t,
+                context,
+                adapter_params=full_tree,
+                train=True,
+                rng=drop_rng,
+                model=model,
+                **kwargs,
+            )
+            return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)
+
+        def step_fn(adapter_params, opt_state, base_params, batch, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(adapter_params, base_params, batch, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, adapter_params)
+            adapter_params = optax.apply_updates(adapter_params, updates)
+            return adapter_params, opt_state, loss
+
+        rep = NamedSharding(mesh, P())
+        batch_shard = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            step_fn,
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+
+    def train_step(self, batch, rng):
+        batch = shd.shard_batch(batch, self.mesh)
+        self.adapter_params, self.opt_state, loss = self._step_fn(
+            self.adapter_params, self.opt_state, self.base_params, batch, rng
+        )
+        self.step += 1
+        return loss
+
+    def sync_to_network(self):
+        """Write trained adapter params back into the network modules."""
+        host = jax.device_get(self.adapter_params)
+        for ln, sub in host.items():
+            self.net.lora_map[ln].params.update({k: jnp.asarray(v) for k, v in sub.items()})
+
+    # -- benchmark helper ------------------------------------------------------
+    def benchmark(self, batch, rng, warmup: int = 3, iters: int = 10):
+        for i in range(warmup):
+            loss = self.train_step(batch, jax.random.fold_in(rng, i))
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            loss = self.train_step(batch, jax.random.fold_in(rng, 1000 + i))
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+        return iters / dt, float(loss)

@@ -1,0 +1,83 @@
+"""End-to-end slice: tiny UNet + adapters + jitted train step on the
+8-device CPU mesh (SURVEY §7 build step 5/7)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lycoris_tpu import LycorisNetwork, ModelGraph, create_lycoris
+from lycoris_tpu.models.unet import UNet2DConditionModel, tiny_unet_config
+from lycoris_tpu.parallel import sharding as shd
+from lycoris_tpu.trainer import DiffusionTrainer
+
+
+@pytest.fixture(autouse=True)
+def reset_preset():
+    yield
+    LycorisNetwork.reset_preset()
+
+
+def _tiny_setup(algo="lokr", batch=8):
+    cfg = tiny_unet_config()
+    model = UNet2DConditionModel(cfg)
+    rng = jax.random.key(0)
+    latents = jnp.ones((batch, 4, 8, 8))
+    t = jnp.zeros((batch,), jnp.int32)
+    ctx = jnp.ones((batch, 6, cfg.context_dim))
+    variables = model.init(rng, latents, t, ctx)
+    graph = ModelGraph.from_linen(model, variables, latents, t, ctx)
+    net = create_lycoris(graph, 1.0, linear_dim=4, linear_alpha=1.0, algo=algo,
+                         preset="attn-mlp", factor=4, rng=rng)
+    # attn-mlp preset has no standalone target_module key; fall back covers it
+    batch_data = {"latents": latents, "context": ctx}
+    return model, variables, net, batch_data
+
+
+def test_unet_forward_and_wrap():
+    model, variables, net, batch = _tiny_setup()
+    assert len(net.loras) > 10
+    out = net({"params": variables["params"]}, batch["latents"],
+              jnp.zeros((8,), jnp.int32), batch["context"], model=model)
+    assert out.shape == batch["latents"].shape
+
+
+@pytest.mark.parametrize("algo", ["lokr", "loha"])
+def test_train_step_decreases_loss(algo):
+    model, variables, net, batch = _tiny_setup(algo)
+    mesh = shd.make_mesh()  # all 8 cpu devices on data axis
+    tr = DiffusionTrainer(model, variables, net, lr=1e-2, mesh=mesh,
+                          weight_dtype=jnp.float32)
+    rng = jax.random.key(7)
+    losses = [float(tr.train_step(batch, jax.random.fold_in(rng, i))) for i in range(12)]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
+
+
+def test_train_step_model_sharded():
+    """tp-ish: frozen base sharded over a 2-wide model axis, 4-wide data."""
+    model, variables, net, batch = _tiny_setup("lokr")
+    mesh = shd.make_mesh(data=4, model=2)
+    tr = DiffusionTrainer(model, variables, net, lr=1e-3, mesh=mesh,
+                          weight_dtype=jnp.float32, shard_base=True)
+    rng = jax.random.key(3)
+    l0 = float(tr.train_step(batch, rng))
+    l1 = float(tr.train_step(batch, jax.random.fold_in(rng, 1)))
+    assert np.isfinite([l0, l1]).all()
+
+
+def test_trained_adapters_merge():
+    model, variables, net, batch = _tiny_setup("lokr")
+    tr = DiffusionTrainer(model, variables, net, lr=1e-2, weight_dtype=jnp.float32)
+    rng = jax.random.key(11)
+    for i in range(3):
+        tr.train_step(batch, jax.random.fold_in(rng, i))
+    tr.sync_to_network()
+    t = jnp.zeros((8,), jnp.int32)
+    out_adapted = net({"params": variables["params"]}, batch["latents"], t,
+                      batch["context"], model=model)
+    merged = net.merge_to(1.0)
+    out_merged = model.apply({"params": merged}, batch["latents"], t, batch["context"])
+    np.testing.assert_allclose(
+        np.asarray(out_merged), np.asarray(out_adapted), rtol=2e-2, atol=2e-4
+    )
