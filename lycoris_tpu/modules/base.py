@@ -200,7 +200,7 @@ def _as_float(alpha) -> float:
     if alpha is None:
         return 0.0
     if isinstance(alpha, (jnp.ndarray, np.ndarray, jax.Array)):
-        return float(np.asarray(alpha))
+        return float(np.asarray(alpha).reshape(-1)[0])
     try:
         import torch
 
