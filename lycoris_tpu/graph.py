@@ -301,6 +301,40 @@ class ModelGraph:
         return g
 
     @staticmethod
+    def from_state_dict(sd: dict, framework: str = "torch_sd") -> "ModelGraph":
+        """Build a graph directly from a flat torch-style state dict
+        (``{name}.weight`` / ``{name}.bias`` keys). Layer kinds are inferred
+        from weight ndim (2=Linear, 3/4/5=ConvNd, 1=LayerNorm); conv
+        hyperparams beyond kernel size are unknown, which is fine for the
+        merge/extract tools (they only touch weights, never run the op)."""
+        nodes = [Node(name="", class_name="root", adapter=None, params_path=())]
+        params = {}
+        for key in sd:
+            if not key.endswith(".weight"):
+                continue
+            name = key[: -len(".weight")]
+            w = np.asarray(sd[key])
+            b = sd.get(f"{name}.bias")
+            b = None if b is None else np.asarray(b)
+            if w.ndim == 2:
+                li = LayerInfo.linear(w.shape[0], w.shape[1], b is not None, name)
+                cls = "Linear"
+            elif w.ndim in (3, 4, 5):
+                nd = w.ndim - 2
+                li = LayerInfo.conv(nd, w.shape[0], w.shape[1], w.shape[2:], bias=b is not None, name=name)
+                cls = f"Conv{nd}d"
+            elif w.ndim == 1:
+                li = LayerInfo.layer_norm(w.shape[0], bias=b is not None, name=name)
+                cls = "LayerNorm"
+            else:
+                continue
+            params[name] = {"weight": w, **({"bias": b} if b is not None else {})}
+            nodes.append(
+                Node(name=name, class_name=cls, adapter=_torch_layout_adapter(li), params_path=(name,))
+            )
+        return ModelGraph(nodes, params=params, framework=framework)
+
+    @staticmethod
     def from_torch(module) -> "ModelGraph":
         """Build from a torch nn.Module (merge/extract tooling + parity tests)."""
         import torch.nn as tnn

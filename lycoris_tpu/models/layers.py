@@ -148,7 +148,9 @@ class LayerNorm(nn.Module):
     def __call__(self, x):
         w = self.param("weight", lambda k: jnp.ones((self.dim,), self.param_dtype))
         b = self.param("bias", lambda k: jnp.zeros((self.dim,), self.param_dtype)) if self.use_bias else None
-        return general.layer_norm(x, (self.dim,), w, b, self.eps)
+        return general.layer_norm(
+            x, (self.dim,), w.astype(x.dtype), None if b is None else b.astype(x.dtype), self.eps
+        )
 
     def lycoris_layer_info(self, params):
         return LayerInfo.layer_norm(params["weight"].shape[0], self.eps, "bias" in params)
@@ -171,7 +173,9 @@ class GroupNorm(nn.Module):
             if self.use_bias
             else None
         )
-        return general.group_norm(x, self.num_groups, w, b, self.eps)
+        return general.group_norm(
+            x, self.num_groups, w.astype(x.dtype), None if b is None else b.astype(x.dtype), self.eps
+        )
 
     def lycoris_layer_info(self, params):
         return LayerInfo.group_norm(self.num_groups, self.num_channels, self.eps, "bias" in params)

@@ -240,10 +240,11 @@ class UNet2DConditionModel(nn.Module):
     def __call__(self, sample, timesteps, encoder_hidden_states, added_cond=None):
         cfg = self.cfg
         ch0 = cfg.block_out_channels[0]
-        temb = timestep_embedding(timesteps, ch0)
+        temb = timestep_embedding(timesteps, ch0).astype(cfg.dtype)
         temb = TimestepEmbedding(cfg, name="time_embedding")(temb)
         if cfg.addition_embed_dim is not None and added_cond is not None:
-            temb = temb + TimestepEmbedding(cfg, name="add_embedding")(added_cond)
+            temb = temb + TimestepEmbedding(cfg, name="add_embedding")(added_cond.astype(cfg.dtype))
+        temb = temb.astype(cfg.dtype)
 
         ctx = encoder_hidden_states
         h = L.Conv2d(ch0, kernel_size=3, padding=1, name="conv_in")(sample)
