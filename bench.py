@@ -36,11 +36,12 @@ def main():
     from lycoris_tpu.trainer import DiffusionTrainer
 
     LycorisNetwork.reset_preset()
+    merged = os.environ.get("BENCH_MERGED", "1") == "1"
     if use_sdxl:
-        cfg = sdxl_config(dtype=jnp.bfloat16)
+        cfg = sdxl_config(dtype=jnp.bfloat16, remat=True)
         latent_hw = 128
     else:
-        cfg = sd15_config(dtype=jnp.bfloat16)
+        cfg = sd15_config(dtype=jnp.bfloat16, remat=True)
         latent_hw = 64
 
     model = UNet2DConditionModel(cfg)
@@ -66,7 +67,8 @@ def main():
     print(f"[bench] {n_mod} adapter modules ({algo})", file=sys.stderr)
 
     mesh = shd.make_mesh()
-    tr = DiffusionTrainer(model, variables, net, lr=1e-4, mesh=mesh, weight_dtype=jnp.bfloat16)
+    tr = DiffusionTrainer(model, variables, net, lr=1e-4, mesh=mesh,
+                          weight_dtype=jnp.bfloat16, merged_forward=merged)
     batch_data = {"latents": latents, "context": ctx}
 
     print("[bench] compiling + warmup...", file=sys.stderr)

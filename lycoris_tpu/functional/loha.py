@@ -100,6 +100,15 @@ hada_weight_tucker.defvjp(_hada_weight_tucker_fwd, _hada_weight_tucker_bwd)
 
 
 def make_weight(w1d, w1u, w2d, w2u, scale):
+    """Dispatch to the fused Pallas kernel on TPU (lycoris_tpu.ops.hada);
+    falls back to the jnp custom-vjp path elsewhere or when
+    LYCORIS_TPU_NO_PALLAS=1."""
+    import os
+
+    if os.environ.get("LYCORIS_TPU_NO_PALLAS", "0") != "1":
+        from ..ops.hada import hada_weight as dispatch
+
+        return dispatch(w1d, w1u, w2d, w2u, scale)
     return hada_weight(w1d, w1u, w2d, w2u, scale)
 
 

@@ -45,6 +45,7 @@ class UNetConfig:
     norm_groups: int = 32
     time_embed_dim: int | None = None  # default 4*ch0
     addition_embed_dim: int | None = None  # SDXL: 2816 add_embedding in dim
+    remat: bool = False  # jax.checkpoint each resnet/transformer block
     dtype: Any = jnp.float32
 
     @property
@@ -52,12 +53,13 @@ class UNetConfig:
         return self.time_embed_dim or self.block_out_channels[0] * 4
 
 
-def sd15_config(dtype=jnp.float32) -> UNetConfig:
-    return UNetConfig(dtype=dtype)
+def sd15_config(dtype=jnp.float32, remat=False) -> UNetConfig:
+    return UNetConfig(dtype=dtype, remat=remat)
 
 
-def sdxl_config(dtype=jnp.float32) -> UNetConfig:
+def sdxl_config(dtype=jnp.float32, remat=False) -> UNetConfig:
     return UNetConfig(
+        remat=remat,
         block_out_channels=(320, 640, 1280),
         layers_per_block=2,
         transformer_depth=(0, 2, 10),
@@ -247,6 +249,10 @@ class UNet2DConditionModel(nn.Module):
         temb = temb.astype(cfg.dtype)
 
         ctx = encoder_hidden_states
+        # rematerialization: trade recompute for activation HBM
+        # (jax.checkpoint via nn.remat; SURVEY "HBM bandwidth" guidance)
+        Resnet = nn.remat(ResnetBlock2D) if cfg.remat else ResnetBlock2D
+        Transformer = nn.remat(Transformer2DModel) if cfg.remat else Transformer2DModel
         h = L.Conv2d(ch0, kernel_size=3, padding=1, name="conv_in")(sample)
         skips = [h]
 
@@ -254,9 +260,9 @@ class UNet2DConditionModel(nn.Module):
         for bi, ch in enumerate(cfg.block_out_channels):
             depth = cfg.transformer_depth[bi]
             for li in range(cfg.layers_per_block):
-                h = ResnetBlock2D(ch, cfg.norm_groups, cfg.dtype, name=f"down_blocks_{bi}_resnets_{li}")(h, temb)
+                h = Resnet(ch, cfg.norm_groups, cfg.dtype, name=f"down_blocks_{bi}_resnets_{li}")(h, temb)
                 if depth > 0:
-                    h = Transformer2DModel(
+                    h = Transformer(
                         ch, depth, cfg.context_dim, cfg.num_heads, cfg.norm_groups, cfg.dtype,
                         name=f"down_blocks_{bi}_attentions_{li}",
                     )(h, ctx)
@@ -267,13 +273,13 @@ class UNet2DConditionModel(nn.Module):
 
         # mid
         mid_ch = cfg.block_out_channels[-1]
-        h = ResnetBlock2D(mid_ch, cfg.norm_groups, cfg.dtype, name="mid_block_resnets_0")(h, temb)
+        h = Resnet(mid_ch, cfg.norm_groups, cfg.dtype, name="mid_block_resnets_0")(h, temb)
         if cfg.mid_transformer_depth > 0:
-            h = Transformer2DModel(
+            h = Transformer(
                 mid_ch, cfg.mid_transformer_depth, cfg.context_dim, cfg.num_heads,
                 cfg.norm_groups, cfg.dtype, name="mid_block_attentions_0",
             )(h, ctx)
-        h = ResnetBlock2D(mid_ch, cfg.norm_groups, cfg.dtype, name="mid_block_resnets_1")(h, temb)
+        h = Resnet(mid_ch, cfg.norm_groups, cfg.dtype, name="mid_block_resnets_1")(h, temb)
 
         # up
         for bi, ch in reversed(list(enumerate(cfg.block_out_channels))):
@@ -282,9 +288,9 @@ class UNet2DConditionModel(nn.Module):
             for li in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=1)
-                h = ResnetBlock2D(ch, cfg.norm_groups, cfg.dtype, name=f"up_blocks_{ui}_resnets_{li}")(h, temb)
+                h = Resnet(ch, cfg.norm_groups, cfg.dtype, name=f"up_blocks_{ui}_resnets_{li}")(h, temb)
                 if depth > 0:
-                    h = Transformer2DModel(
+                    h = Transformer(
                         ch, depth, cfg.context_dim, cfg.num_heads, cfg.norm_groups, cfg.dtype,
                         name=f"up_blocks_{ui}_attentions_{li}",
                     )(h, ctx)

@@ -1,0 +1,217 @@
+"""Fused LoHa Hadamard-of-matmuls Pallas kernel.
+
+Computes ΔW = (w1u @ w1d) ⊙ (w2u @ w2d) · γ in ONE kernel: each (O, I) tile
+does two rank-r MXU matmuls in VMEM and multiplies them elementwise before
+the single HBM write. The jnp fallback materializes BOTH full-size products
+in HBM (2 extra O×I round trips) — this kernel removes them, which is the
+same memory/compute trade the reference's hand-written autograd makes
+(lycoris/functional/loha.py:10-30, docs/Algo-Details.md:94-99), extended to
+the forward as well.
+
+Backward (custom_vjp) recomputes the partner product per tile instead of
+caching it, exactly like the reference:
+  g1u = (g ⊙ P2) @ w1dᵀ,  g1d = w1uᵀ @ (g ⊙ P2),  P2 = w2u@w2d  (recomputed)
+  g2u = (g ⊙ P1) @ w2dᵀ,  g2d = w2uᵀ @ (g ⊙ P1),  P1 = w1u@w1d
+
+Gated by ``use_pallas`` (default: on for TPU backends, off elsewhere); all
+math accumulates in fp32 regardless of input dtype (SURVEY hard-part #1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _tile(dim, target):
+    """Largest divisor of dim that is <= target (keeps grid exact)."""
+    t = min(dim, target)
+    while dim % t:
+        t -= 1
+    return t
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _hada_fwd_kernel(w1u_ref, w1d_ref, w2u_ref, w2d_ref, scale_ref, out_ref):
+    p1 = jnp.dot(w1u_ref[:], w1d_ref[:], preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+    p2 = jnp.dot(w2u_ref[:], w2d_ref[:], preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+    out_ref[:] = (p1 * p2 * scale_ref[0, 0]).astype(out_ref.dtype)
+
+
+def _hada_fwd_pallas(w1d, w1u, w2d, w2u, scale):
+    O, R = w1u.shape
+    _, I = w1d.shape
+    tm = _tile(O, 256)
+    tn = _tile(I, 256)
+    grid = (O // tm, I // tn)
+    scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
+    return pl.pallas_call(
+        _hada_fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, R), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, R), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((O, I), w1u.dtype),
+    )(w1u, w1d, w2u, w2d, scale_arr)
+
+
+# ---------------------------------------------------------------------------
+# backward kernels — per tile: recompute partner product, accumulate grads
+# ---------------------------------------------------------------------------
+
+
+def _hada_bwd_u_kernel(g_ref, w1u_ref, w1d_ref, w2u_ref, w2d_ref, scale_ref, g1u_ref, g2u_ref):
+    """grid (O_tiles, I_tiles): u-grads accumulate over the inner (j) axis, so
+    each output block's grid visits are consecutive (TPU grids run serially
+    row-major — Pallas keeps a revisited output block resident in VMEM)."""
+    j = pl.program_id(1)
+    g = g_ref[:].astype(jnp.float32) * scale_ref[0, 0]
+    t1 = g * jnp.dot(w2u_ref[:], w2d_ref[:], preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+    t2 = g * jnp.dot(w1u_ref[:], w1d_ref[:], preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+
+    @pl.when(j == 0)
+    def _():
+        g1u_ref[:] = jnp.zeros_like(g1u_ref)
+        g2u_ref[:] = jnp.zeros_like(g2u_ref)
+
+    g1u_ref[:] += jnp.dot(t1, w1d_ref[:].astype(jnp.float32).T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+    g2u_ref[:] += jnp.dot(t2, w2d_ref[:].astype(jnp.float32).T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+
+
+def _hada_bwd_d_kernel(g_ref, w1u_ref, w1d_ref, w2u_ref, w2d_ref, scale_ref, g1d_ref, g2d_ref):
+    """grid (I_tiles, O_tiles): d-grads accumulate over the inner (i) axis."""
+    i = pl.program_id(1)
+    g = g_ref[:].astype(jnp.float32) * scale_ref[0, 0]
+    t1 = g * jnp.dot(w2u_ref[:], w2d_ref[:], preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+    t2 = g * jnp.dot(w1u_ref[:], w1d_ref[:], preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+
+    @pl.when(i == 0)
+    def _():
+        g1d_ref[:] = jnp.zeros_like(g1d_ref)
+        g2d_ref[:] = jnp.zeros_like(g2d_ref)
+
+    g1d_ref[:] += jnp.dot(w1u_ref[:].astype(jnp.float32).T, t1, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+    g2d_ref[:] += jnp.dot(w2u_ref[:].astype(jnp.float32).T, t2, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+
+
+def _hada_bwd_pallas(w1d, w1u, w2d, w2u, scale, g):
+    O, R = w1u.shape
+    _, I = w1d.shape
+    tm = _tile(O, 256)
+    tn = _tile(I, 256)
+    scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
+
+    g1u, g2u = pl.pallas_call(
+        _hada_bwd_u_kernel,
+        grid=(O // tm, I // tn),
+        in_specs=[
+            pl.BlockSpec((tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, R), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, R), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tm, R), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, R), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((O, R), jnp.float32),
+            jax.ShapeDtypeStruct((O, R), jnp.float32),
+        ),
+    )(g, w1u, w1d, w2u, w2d, scale_arr)
+
+    g1d, g2d = pl.pallas_call(
+        _hada_bwd_d_kernel,
+        grid=(I // tn, O // tm),
+        in_specs=[
+            pl.BlockSpec((tm, tn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, R), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, R), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, tn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, I), jnp.float32),
+            jax.ShapeDtypeStruct((R, I), jnp.float32),
+        ),
+    )(g, w1u, w1d, w2u, w2d, scale_arr)
+
+    return (
+        g1d.astype(w1d.dtype),
+        g1u.astype(w1u.dtype),
+        g2d.astype(w2d.dtype),
+        g2u.astype(w2u.dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+
+
+def _supported(w1d, w1u):
+    O, R = w1u.shape
+    I = w1d.shape[1]
+    # need MXU-friendly dims: last dims multiples of 128 after tiling is
+    # overkill for adapters; just require every dim >= 8 and even tiles
+    return O >= 8 and I >= 128 and R >= 1
+
+
+@jax.custom_vjp
+def hada_weight_pallas(w1d, w1u, w2d, w2u, scale=1.0):
+    return _hada_fwd_pallas(w1d, w1u, w2d, w2u, scale)
+
+
+def _fwd(w1d, w1u, w2d, w2u, scale):
+    return hada_weight_pallas(w1d, w1u, w2d, w2u, scale), (w1d, w1u, w2d, w2u, scale)
+
+
+def _bwd(res, g):
+    w1d, w1u, w2d, w2u, scale = res
+    return (*_hada_bwd_pallas(w1d, w1u, w2d, w2u, scale, g), None)
+
+
+hada_weight_pallas.defvjp(_fwd, _bwd)
+
+
+def hada_weight(w1d, w1u, w2d, w2u, scale=1.0, use_pallas=None):
+    """Dispatch: Pallas fused kernel on TPU, jnp custom-vjp fallback elsewhere."""
+    from ..functional import loha as f_loha
+
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if use_pallas and _supported(w1d, w1u):
+        return hada_weight_pallas(w1d, w1u, w2d, w2u, scale)
+    return f_loha.hada_weight(w1d, w1u, w2d, w2u, scale)

@@ -63,7 +63,10 @@ class DiffusionTrainer:
         weight_dtype=jnp.bfloat16,
         shard_base: bool = False,
         param_groups=None,  # optional LoRA+-style [(label, tree, lr)] groups
+        merged_forward: bool = True,  # one matmul per layer (W+ΔW) instead of
+        # the reference's base+delta two-matmul pattern; disable when stacking
     ):
+        self.merged_forward = merged_forward
         self.model = model
         self.net = net
         self.mesh = mesh if mesh is not None else shd.make_mesh()
@@ -124,6 +127,7 @@ class DiffusionTrainer:
                 train=True,
                 rng=drop_rng,
                 model=model,
+                merged_forward=self.merged_forward,
                 **kwargs,
             )
             return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)

@@ -112,6 +112,25 @@ def test_save_load_from_weights(algo, rng, tmp_path):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("algo", ["lora", "loha", "lokr", "ia3", "glora", "boft"])
+def test_merged_forward_fast_path(algo, rng):
+    """The one-matmul (W+ΔW) fast path must equal the delta-over-base path."""
+    model, variables, x, graph = _build()
+    net = create_lycoris(graph, 1.0, 4, 1.0, algo=algo, rng=rng)
+    tree = net.params_tree()
+    key = rng
+    for ln, p in tree.items():
+        for k in list(p):
+            if k in net.lora_map[ln].trainable:
+                key, sub = jax.random.split(key)
+                p[k] = p[k] + jax.random.normal(sub, p[k].shape, p[k].dtype) * 0.01
+    out_delta = net(variables, x, adapter_params=tree)
+    out_merged = net(variables, x, adapter_params=tree, merged_forward=True)
+    np.testing.assert_allclose(
+        np.asarray(out_merged), np.asarray(out_delta), rtol=1e-3, atol=1e-4
+    )
+
+
 def test_stacking(rng):
     model, variables, x, graph = _build()
     k1, k2 = jax.random.split(rng)
