@@ -289,11 +289,15 @@ class ModelGraph:
                 order.append(path)
             return next_fun(*fargs, **fkwargs)
 
-        with nn.intercept_methods(interceptor):
-            if method is not None:
-                model.apply(variables, *args, method=method, **kwargs)
-            else:
-                model.apply(variables, *args, **kwargs)
+        # abstract trace: records structure without executing a single op on
+        # device (an eager apply would dispatch thousands of tiny kernels)
+        def _run(v, a):
+            with nn.intercept_methods(interceptor):
+                if method is not None:
+                    return model.apply(v, *a, method=method, **kwargs)
+                return model.apply(v, *a, **kwargs)
+
+        jax.eval_shape(_run, variables, args)
 
         nodes = [records[p] for p in order]
         g = ModelGraph(nodes, params=params, framework="linen")
