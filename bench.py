@@ -37,11 +37,12 @@ def main():
 
     LycorisNetwork.reset_preset()
     merged = os.environ.get("BENCH_MERGED", "1") == "1"
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
     if use_sdxl:
-        cfg = sdxl_config(dtype=jnp.bfloat16, remat=True)
+        cfg = sdxl_config(dtype=jnp.bfloat16, remat=remat)
         latent_hw = 128
     else:
-        cfg = sd15_config(dtype=jnp.bfloat16, remat=True)
+        cfg = sd15_config(dtype=jnp.bfloat16, remat=remat)
         latent_hw = 64
 
     model = UNet2DConditionModel(cfg)
@@ -57,12 +58,14 @@ def main():
     variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), variables)
 
     graph = ModelGraph.from_linen(model, variables, latents, t, ctx)
+    # attn-mlp workload: adapt ONLY the transformer blocks, matching the
+    # reference's benchmark row (docs/Guidelines.md:62 "LoRA attn-mlp dim8")
+    LycorisNetwork.apply_preset({"target_module": ["Transformer2DModel"]})
     net = create_lycoris(
         graph, 1.0, linear_dim=8, linear_alpha=4.0,
-        algo=algo, preset="attn-mlp", factor=8, rng=rng,
+        algo=algo, factor=8, rng=rng,
     )
-    # attn-mlp preset only sets kohya (unet_*) keys; standalone targeting
-    # uses the default Linear/Conv filter. Restrict to transformer blocks:
+    LycorisNetwork.reset_preset()
     n_mod = len(net.loras)
     print(f"[bench] {n_mod} adapter modules ({algo})", file=sys.stderr)
 
