@@ -37,7 +37,8 @@ def main():
 
     LycorisNetwork.reset_preset()
     merged = os.environ.get("BENCH_MERGED", "1") == "1"
-    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    remat_env = os.environ.get("BENCH_REMAT", "transformer")
+    remat = {"0": False, "1": True, "transformer": "transformer"}.get(remat_env, remat_env)
     if use_sdxl:
         cfg = sdxl_config(dtype=jnp.bfloat16, remat=remat)
         latent_hw = 128

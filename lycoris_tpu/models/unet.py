@@ -45,7 +45,7 @@ class UNetConfig:
     norm_groups: int = 32
     time_embed_dim: int | None = None  # default 4*ch0
     addition_embed_dim: int | None = None  # SDXL: 2816 add_embedding in dim
-    remat: bool = False  # jax.checkpoint each resnet/transformer block
+    remat: Any = False  # False | "transformer" | True (also resnets)
     dtype: Any = jnp.float32
 
     @property
@@ -251,7 +251,7 @@ class UNet2DConditionModel(nn.Module):
         ctx = encoder_hidden_states
         # rematerialization: trade recompute for activation HBM
         # (jax.checkpoint via nn.remat; SURVEY "HBM bandwidth" guidance)
-        Resnet = nn.remat(ResnetBlock2D) if cfg.remat else ResnetBlock2D
+        Resnet = nn.remat(ResnetBlock2D) if cfg.remat is True else ResnetBlock2D
         Transformer = nn.remat(Transformer2DModel) if cfg.remat else Transformer2DModel
         h = L.Conv2d(ch0, kernel_size=3, padding=1, name="conv_in")(sample)
         skips = [h]
