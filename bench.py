@@ -20,6 +20,10 @@ import sys
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: repeated bench runs skip the multi-minute compile
+jax.config.update("jax_compilation_cache_dir", "/tmp/lycoris_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 
 REFERENCE_IT_PER_S = 3.45  # RTX4090, SD1.5, batch 8 (docs/Guidelines.md:62)
 

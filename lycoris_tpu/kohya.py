@@ -140,7 +140,12 @@ def create_network_from_weights(
     unet_graph = _as_graph(unet)
     te_graphs = network._te_graphs(text_encoder)
 
+    from .wrapper import LycorisNetwork
+
     def load_tree(graph, prefix, out_list):
+        sub = LycorisNetwork(graph, init_only=True)
+        sub.lora_prefix = prefix
+        sub.multiplier = multiplier
         wanted = {
             key.split(".")[0]: None
             for key in weights_sd
@@ -160,11 +165,15 @@ def create_network_from_weights(
             if mod is not None:
                 mod.multiplier = multiplier
                 out_list.append(mod)
-                network.lora_map[lora_name] = mod
-                network.node_map[lora_name] = node
+                for n in (network, sub):
+                    n.lora_map[lora_name] = mod
+                    n.node_map[lora_name] = node
+                sub.loras.append(mod)
+        network.sub_networks[prefix] = sub
 
     load_tree(unet_graph, LycorisNetworkKohya.LORA_PREFIX_UNET, network.unet_loras)
     network.unet_graph = unet_graph
+    network.graph = unet_graph
     if te_graphs:
         for i, (prefix, g) in enumerate(te_graphs):
             load_tree(g, prefix, network.text_encoder_loras)
