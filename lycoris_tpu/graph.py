@@ -172,13 +172,28 @@ def _torch_layout_adapter(li: LayerInfo) -> LayerAdapter:
     )
 
 
+def _quant_adapter(li: LayerInfo) -> LayerAdapter:
+    """int8 weight-only layers (lycoris_tpu.utils.quant): weights are exposed
+    dequantized; merge-back is unsupported (bypass mode is forced anyway)."""
+    from .utils.quant import dequantize_int8
+
+    def get_weights(p):
+        w = dequantize_int8(p["weight_q"], p["scale"], jnp.float32)
+        return w, _t(p["bias"]) if "bias" in p else None
+
+    return LayerAdapter(layer_info=li, get_weights=get_weights, put_weights=None)
+
+
 def adapter_for_linen(mod, params) -> LayerAdapter | None:
     """Map a bound linen module instance to a LayerAdapter (None = container)."""
     cls = type(mod).__name__
     # our torch-layout primitives advertise themselves
     li_fn = getattr(mod, "lycoris_layer_info", None)
     if li_fn is not None:
-        return _torch_layout_adapter(li_fn(params) if callable(li_fn) else li_fn)
+        li = li_fn(params) if callable(li_fn) else li_fn
+        if isinstance(params, dict) and "weight_q" in params:
+            return _quant_adapter(li)
+        return _torch_layout_adapter(li)
     if params is None or not isinstance(params, dict):
         return None
     try:

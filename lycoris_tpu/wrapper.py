@@ -235,6 +235,12 @@ class LycorisNetwork:
         # flax-native class names (lowered onto the same LayerInfo kinds)
         "Dense",
         "Conv",
+        # quantized base layers (QLyCORIS; forced into bypass mode)
+        "Int8Linear",
+        "QuantLinear",
+        "Linear8bitLt",
+        "LinearFP4",
+        "LinearNF4",
     ]
     TARGET_REPLACE_NAME = []
     LORA_PREFIX = "lycoris"
@@ -401,6 +407,16 @@ class LycorisNetwork:
                     return None
             else:
                 return None
+
+            # QLyCORIS: quantized base layers force bypass mode so ΔW never
+            # touches the quantized weight (reference base.py:162-177)
+            from .utils.quant import is_quant_class, log_bypass
+
+            if is_quant_class(node.class_name) or node.adapter.put_weights is None:
+                if algo_name == "full":
+                    raise ValueError("Quant layers are not supported in Full algo.")
+                log_bypass()
+                cfg["bypass_mode"] = True
 
             org_w = None
             try:
@@ -633,8 +649,20 @@ class LycorisNetwork:
                 out = lyco.op(x, w_m.astype(x.dtype), None if b_m is None else b_m.astype(x.dtype))
                 return adapter.cf_out(out)
 
+            # org_forward: the FIRST call goes through ``next_fun`` so inner
+            # interceptors (adapter stacking) participate; flax method
+            # wrappers are single-shot (a second call re-registers params),
+            # so any further calls — bypass algos like IA3/GLoRA call
+            # org_forward again with modified inputs, module_dropout mixes in
+            # the plain base — fall back to the functional reconstruction
+            # from the adapter's extracted weights.
+            called = [False]
+
             def org_forward(z):
-                return adapter.cf_in(next_fun(adapter.cf_out(z), *args[1:], **kwargs))
+                if not called[0]:
+                    called[0] = True
+                    return adapter.cf_in(next_fun(adapter.cf_out(z), *args[1:], **kwargs))
+                return lyco.op(z, w.astype(z.dtype), None if b is None else b.astype(z.dtype))
 
             out = lyco.forward(
                 x,
