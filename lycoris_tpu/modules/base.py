@@ -344,3 +344,35 @@ class LycorisBaseModule:
         org_forward=None,
     ):
         raise NotImplementedError
+
+    # -- parametrize API -------------------------------------------------------
+    @classmethod
+    def parametrize(cls, org_param, *args, rng=None, **kwargs):
+        """Adapter over a bare parameter tensor (reference base.py:199-234:
+        ``torch.nn.utils.parametrize`` proxy). Returns a module whose
+        :meth:`parametrize_forward` maps the original parameter value to the
+        adapted one — compose it anywhere a raw weight is consumed."""
+        from .full import FullModule
+
+        if cls is FullModule:
+            raise RuntimeError("FullModule cannot be used for parametrize.")
+        org_param = jnp.asarray(org_param)
+        if org_param.ndim == 2:
+            li = LayerInfo.linear(org_param.shape[0], org_param.shape[1], bias=False)
+        elif org_param.ndim in (3, 4, 5):
+            li = LayerInfo.conv(
+                org_param.ndim - 2,
+                org_param.shape[0],
+                org_param.shape[1],
+                org_param.shape[2:],
+                bias=False,
+            )
+        else:
+            raise ValueError(f"cannot parametrize a {org_param.ndim}-d parameter")
+        kwargs["bypass_mode"] = False
+        return cls("", li, *args, rng=rng, org_weight=org_param, **kwargs)
+
+    def parametrize_forward(self, org_param, params=None, multiplier=None):
+        multiplier = self.multiplier if multiplier is None else multiplier
+        w, _ = self.get_merged_weight(org_param, None, params=params, multiplier=multiplier)
+        return w.astype(org_param.dtype)

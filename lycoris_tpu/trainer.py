@@ -82,7 +82,12 @@ class DiffusionTrainer:
             self.base_params = shd.replicate(params, self.mesh)
             self.base_specs = shd.replicated_spec_tree(params)
 
-        self.adapter_params = shd.replicate(net.trainable_params(), self.mesh)
+        # deep-copy: the jitted step donates these buffers, and device_put
+        # aliases when the sharding already matches — donating the network's
+        # own param arrays would invalidate net.merge_to()/state_dict()
+        self.adapter_params = shd.replicate(
+            jax.tree_util.tree_map(jnp.array, net.trainable_params()), self.mesh
+        )
         if optimizer is None:
             optimizer = optax.adamw(lr)
         self.optimizer = optimizer
@@ -159,6 +164,38 @@ class DiffusionTrainer:
         host = jax.device_get(self.adapter_params)
         for ln, sub in host.items():
             self.net.lora_map[ln].params.update({k: jnp.asarray(v) for k, v in sub.items()})
+
+    # -- checkpoint / resume (orbax for internal train state; adapter files
+    # themselves stay flat safetensors via net.save_weights — SURVEY §5) ------
+    def save_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        state = {
+            "adapter_params": jax.device_get(self.adapter_params),
+            "opt_state": jax.device_get(self.opt_state),
+            "step": self.step,
+        }
+        import os
+
+        ckptr.save(os.path.abspath(path), state, force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path: str):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = {
+            "adapter_params": jax.device_get(self.adapter_params),
+            "opt_state": jax.device_get(self.opt_state),
+            "step": self.step,
+        }
+        state = ckptr.restore(os.path.abspath(path), target=target)
+        self.adapter_params = shd.replicate(state["adapter_params"], self.mesh)
+        self.opt_state = shd.replicate(state["opt_state"], self.mesh)
+        self.step = int(state["step"])
 
     # -- benchmark helper ------------------------------------------------------
     def benchmark(self, batch, rng, warmup: int = 3, iters: int = 10):
