@@ -28,9 +28,17 @@ from .wrapper import (
     create_lycoris_from_weights,
 )
 
+# kohya layer is optional in the reference (lycoris/__init__.py:1-26 wraps it
+# in try/except); here it has no extra deps but we keep the same surface
+try:
+    from . import kohya
+except ImportError:  # pragma: no cover
+    kohya = None
+
 __all__ = [
     "functional",
     "modules",
+    "kohya",
     "logger",
     "ModelGraph",
     "LycorisNetwork",

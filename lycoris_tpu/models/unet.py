@@ -123,7 +123,9 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, tq, self.num_heads, head_dim)
         k = k.reshape(b, tk, self.num_heads, head_dim)
         v = v.reshape(b, tk, self.num_heads, head_dim)
-        o = jax.nn.dot_product_attention(q, k, v)
+        from ..ops.attention import dot_product_attention as dpa
+
+        o = dpa(q, k, v)
         o = o.reshape(b, tq, inner)
         return L.Linear(inner, name="to_out_0")(o)
 

@@ -1,0 +1,51 @@
+"""Attention dispatch: TPU Pallas flash attention for long self-attention.
+
+The SD UNet's self-attention at 64×64 latents runs T=4096 tokens; the
+unfused XLA path materializes (B, H, T, T) logits in HBM (≈2 GB per layer at
+batch 8). The Pallas flash kernel (jax.experimental.pallas.ops.tpu.
+flash_attention, differentiable) streams K/V tiles through VMEM instead.
+
+``dot_product_attention(q, k, v)`` takes (B, T, H, D) like
+jax.nn.dot_product_attention and dispatches to the Pallas kernel when:
+- running on a TPU backend (and LYCORIS_TPU_NO_PALLAS != 1),
+- q and k share the sequence length (self-attention; cross-attention's
+  77-token K/V doesn't meet the kernel's tiling constraints and is cheap
+  anyway), and the length is a multiple of 512.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _use_flash(q, k) -> bool:
+    if os.environ.get("LYCORIS_TPU_NO_PALLAS", "0") == "1" or not _on_tpu():
+        return False
+    tq, tk = q.shape[1], k.shape[1]
+    return tq == tk and tq >= 1024 and tq % 512 == 0
+
+
+def dot_product_attention(q, k, v):
+    """(B, T, H, D) attention with automatic 1/sqrt(D) scaling."""
+    if _use_flash(q, k):
+        from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+        o = fa.flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            sm_scale=sm_scale,
+        )
+        return o.transpose(0, 2, 1, 3)
+    return jax.nn.dot_product_attention(q, k, v)
