@@ -18,6 +18,15 @@ The reference implementation being rebuilt is KohakuBlueleaf/LyCORIS
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("LYCORIS_FORCE_CPU", "0") == "1":
+    # some TPU plugins (axon) force-select themselves and ignore
+    # JAX_PLATFORMS; offline tooling can pin CPU through the config API
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from . import functional
 from . import modules
 from .logging import logger
