@@ -13,6 +13,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_tool(name, *args):
     env = dict(os.environ)
+    env["LYCORIS_FORCE_CPU"] = "1"  # keep tool subprocesses off the TPU
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", name), *args],
         capture_output=True, text=True, env=env, timeout=300,
