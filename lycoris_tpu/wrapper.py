@@ -726,6 +726,18 @@ class LycorisNetwork:
             set_in(new_params, node.params_path, new_sub)
         return new_params
 
+    def onfly_merge(self, weight=1.0, adapter_params=None):
+        """Swap the graph's params for merged ones (inference-time merge;
+        functional analog of base.py:344-374). Restore with onfly_restore."""
+        self._cached_org_params = self.graph.params
+        self.graph.params = self.merge_to(weight, adapter_params)
+        return self.graph.params
+
+    def onfly_restore(self):
+        self.graph.params = self._cached_org_params
+        del self._cached_org_params
+        return self.graph.params
+
     def apply_max_norm_regularization(self, max_norm_value, adapter_params=None):
         """Returns (updated_params_tree, keys_scaled, mean_norm, max_norm)
         — pure version of wrapper.py:579-592."""

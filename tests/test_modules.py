@@ -168,6 +168,35 @@ def test_norm_module(rng):
 
 
 # ---------------------------------------------------------------------------
+# bf16 dtype grid (reference test/module.py runs cpu/cuda × fp32/fp16/bf16)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("algo", ["locon", "loha", "lokr", "diag_oft", "boft"])
+def test_bf16_module(algo, rng):
+    layer_info, x_shape = LAYERS["linear"]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    w = jax.random.normal(k1, layer_info.shape, jnp.bfloat16)
+    x = jax.random.normal(k2, x_shape, jnp.bfloat16)
+    cls = ALGOS[algo]
+    mod = cls("test", layer_info, 1.0, lora_dim=4, alpha=1.0,
+              rng=jax.random.key(42), org_weight=w, dtype=jnp.bfloat16)
+    base = layer_info.op(x, w)
+    out = mod.forward(x, org_weight=w)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(base, np.float32), rtol=2e-2, atol=2e-2
+    )
+    params = _noise(mod, k3)
+    grads = jax.grad(
+        lambda p: jnp.sum(
+            mod.forward(x, org_weight=w, params={**dict(mod.params), **p}).astype(jnp.float32) ** 2
+        )
+    )({k: params[k] for k in mod.trainable})
+    assert all(jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads))
+
+
+# ---------------------------------------------------------------------------
 # Cross-framework goldens (merged weight vs PyTorch reference modules)
 # ---------------------------------------------------------------------------
 
