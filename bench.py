@@ -13,9 +13,13 @@ same model scale, per accelerator). Env knobs: BENCH_ALGO (lokr|loha|lora),
 BENCH_BATCH, BENCH_ITERS, BENCH_SDXL=1 for the SDXL config at 1024px scale.
 """
 
+import faulthandler
 import json
 import os
+import signal
 import sys
+
+faulthandler.register(signal.SIGUSR1)
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ Design mapping (reference → here):
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any, Callable
 
 import jax

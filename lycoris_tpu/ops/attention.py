@@ -18,7 +18,6 @@ from __future__ import annotations
 import os
 
 import jax
-import jax.numpy as jnp
 
 
 def _on_tpu() -> bool:

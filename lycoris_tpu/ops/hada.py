@@ -19,7 +19,6 @@ math accumulates in fp32 regardless of input dtype (SURVEY hard-part #1).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

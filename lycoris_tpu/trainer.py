@@ -16,10 +16,7 @@ one XLA computation per step.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 import time
-from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -39,13 +36,6 @@ from .parallel import sharding as shd
 def ddpm_alphas_cumprod(num_steps: int = 1000, beta_start=0.00085, beta_end=0.012):
     betas = jnp.linspace(beta_start**0.5, beta_end**0.5, num_steps) ** 2
     return jnp.cumprod(1.0 - betas)
-
-
-@dataclasses.dataclass
-class TrainState:
-    adapter_params: Any
-    opt_state: Any
-    step: int = 0
 
 
 class DiffusionTrainer:
@@ -144,7 +134,6 @@ class DiffusionTrainer:
             return adapter_params, opt_state, loss
 
         rep = NamedSharding(mesh, P())
-        batch_shard = NamedSharding(mesh, P("data"))
         return jax.jit(
             step_fn,
             out_shardings=(rep, rep, rep),

@@ -468,7 +468,6 @@ class LycorisNetwork:
                 lora_name = lora_name.replace(".", "_")
                 if lora_name in loras_:
                     continue
-                full_name = f"{root_name}.{name}" if root_name and name else (root_name or name)
                 lora = create_single_module(lora_name, node, algo, **configs)
                 if lora is not None:
                     loras_[lora_name] = lora
