@@ -78,6 +78,20 @@ class DiffusionTrainer:
         self.adapter_params = shd.replicate(
             jax.tree_util.tree_map(jnp.array, net.trainable_params()), self.mesh
         )
+        # non-trainable adapter buffers (alpha, scalar, zero-init factors)
+        # MUST be jit arguments, not closure constants: 192 modules' worth of
+        # embedded constants bloat the HLO and stall lowering on device→host
+        # fetches (ir_constant pulls values through the runtime)
+        trainable_keys = {l.lora_name: l.trainable for l in net.loras}
+        self.adapter_buffers = shd.replicate(
+            {
+                l.lora_name: {
+                    k: v for k, v in l.params.items() if k not in trainable_keys[l.lora_name]
+                }
+                for l in net.loras
+            },
+            self.mesh,
+        )
         if optimizer is None:
             optimizer = optax.adamw(lr)
         self.optimizer = optimizer
@@ -94,7 +108,7 @@ class DiffusionTrainer:
         optimizer = self.optimizer
         wd = self.weight_dtype
 
-        def loss_fn(adapter_params, base_params, batch, rng):
+        def loss_fn(adapter_params, buffers, base_params, batch, rng):
             latents = batch["latents"].astype(wd)
             context = batch["context"].astype(wd)
             added = batch.get("added_cond")
@@ -105,10 +119,8 @@ class DiffusionTrainer:
             a = alphas_cumprod[t].reshape(b, 1, 1, 1)
             noisy = (jnp.sqrt(a) * latents.astype(jnp.float32) + jnp.sqrt(1 - a) * noise).astype(wd)
 
-            # full adapter tree = init buffers overlaid with trainable leaves
-            full_tree = net.params_tree()
-            for ln, sub in adapter_params.items():
-                full_tree[ln] = {**full_tree[ln], **sub}
+            # full adapter tree = buffers overlaid with trainable leaves
+            full_tree = {ln: {**buffers.get(ln, {}), **sub} for ln, sub in adapter_params.items()}
 
             kwargs = {}
             if added is not None:
@@ -127,8 +139,8 @@ class DiffusionTrainer:
             )
             return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)
 
-        def step_fn(adapter_params, opt_state, base_params, batch, rng):
-            loss, grads = jax.value_and_grad(loss_fn)(adapter_params, base_params, batch, rng)
+        def step_fn(adapter_params, buffers, opt_state, base_params, batch, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(adapter_params, buffers, base_params, batch, rng)
             updates, opt_state = optimizer.update(grads, opt_state, adapter_params)
             adapter_params = optax.apply_updates(adapter_params, updates)
             return adapter_params, opt_state, loss
@@ -137,13 +149,13 @@ class DiffusionTrainer:
         return jax.jit(
             step_fn,
             out_shardings=(rep, rep, rep),
-            donate_argnums=(0, 1),
+            donate_argnums=(0, 2),  # adapter params + opt state (NOT buffers)
         )
 
     def train_step(self, batch, rng):
         batch = shd.shard_batch(batch, self.mesh)
         self.adapter_params, self.opt_state, loss = self._step_fn(
-            self.adapter_params, self.opt_state, self.base_params, batch, rng
+            self.adapter_params, self.adapter_buffers, self.opt_state, self.base_params, batch, rng
         )
         self.step += 1
         return loss
