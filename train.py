@@ -141,10 +141,18 @@ def main():
         weight_dtype=dtype,
     )
 
+    # resume (failure recovery): [Network_setup] resume = true reloads the
+    # orbax train state (adapters + optimizer + step) from output_dir
+    state_dir = os.path.join(save_cfg.get("output_dir", "/tmp"), "train_state")
+    if net_setup.get("resume") and os.path.exists(state_dir):
+        trainer.load_checkpoint(state_dir)
+        print(f"resumed from step {trainer.step}")
+    save_state = bool(save_cfg.get("save_state", False))
+
     timer = StepTimer()
     metrics = MetricLogger(os.path.join(save_cfg.get("output_dir", "/tmp"), "metrics.jsonl"))
     data_rng = np.random.default_rng(seed)
-    for step in range(max_steps):
+    for step in range(trainer.step, max_steps):
         batch_data = {
             "latents": jnp.asarray(data_rng.normal(size=latents.shape), dtype),
             "context": jnp.asarray(data_rng.normal(size=ctx.shape), dtype),
@@ -162,6 +170,8 @@ def main():
                 f"{save_cfg.get('output_name', 'lycoris')}-{step:06d}.safetensors",
             )
             net.save_weights(out, dtype=np.float16, metadata={})
+            if save_state:
+                trainer.save_checkpoint(state_dir)
 
     trainer.sync_to_network()
     out = os.path.join(
