@@ -264,6 +264,9 @@ class LycorisNetworkKohya(LycorisNetwork):
 
         cls = type(self)
         network_module = kwargs.get("network_module", "locon")
+        # NOTE: the reference compares ``network_module == GLoRAModule`` (a
+        # class) against the algo STRING (kohya.py:498-505), so its GLoRA
+        # target-narrowing is dead code; we honor the evident intent.
         if network_module == "glora":
             logger.info("GLoRA enabled, only train transformer")
             unet_targets = ["Transformer2DModel", "Attention"]
