@@ -202,10 +202,13 @@ class DiffusionTrainer:
     def benchmark(self, batch, rng, warmup: int = 3, iters: int = 10):
         for i in range(warmup):
             loss = self.train_step(batch, jax.random.fold_in(rng, i))
-        jax.block_until_ready(loss)
+        # pull the scalar to host: step N's loss depends on the whole donated
+        # param chain, so this synchronizes everything (block_until_ready can
+        # return optimistically on some PJRT runtimes)
+        float(loss)
         t0 = time.perf_counter()
         for i in range(iters):
             loss = self.train_step(batch, jax.random.fold_in(rng, 1000 + i))
-        jax.block_until_ready(loss)
+        final = float(loss)
         dt = time.perf_counter() - t0
-        return iters / dt, float(loss)
+        return iters / dt, final
