@@ -197,6 +197,16 @@ def adapter_for_linen(mod, params) -> LayerAdapter | None:
     if params is None or not isinstance(params, dict):
         return None
     try:
+        if cls in ("Embed", "Embedding") and "embedding" in params:
+            # embeddings are extract-only (full diff mode); weight exposed as
+            # a (vocab, dim) matrix, never adapted at runtime
+            emb = params["embedding"]
+            li = LayerInfo.linear(emb.shape[0], emb.shape[1], False)
+            return LayerAdapter(
+                layer_info=li,
+                get_weights=lambda p: (_t(p["embedding"]), None),
+                put_weights=lambda p, w, b: {**p, "embedding": w},
+            )
         if cls in ("Dense", "DenseGeneral") and "kernel" in params and np.ndim(params["kernel"]) == 2:
             return _flax_dense_adapter(mod, params)
         if cls in ("Conv", "ConvLocal") and "kernel" in params:
@@ -383,6 +393,8 @@ class ModelGraph:
                 li = LayerInfo.layer_norm(tuple(mod.normalized_shape), mod.eps, mod.bias is not None, name)
             elif isinstance(mod, tnn.GroupNorm):
                 li = LayerInfo.group_norm(mod.num_groups, mod.num_channels, mod.eps, mod.bias is not None, name)
+            elif isinstance(mod, tnn.Embedding):
+                li = LayerInfo.linear(mod.num_embeddings, mod.embedding_dim, False, name)
             if li is not None:
                 w = mod.weight.detach().cpu().numpy()
                 b = mod.bias.detach().cpu().numpy() if getattr(mod, "bias", None) is not None else None

@@ -158,6 +158,8 @@ def extract_diff(
                 node, w_base, _ = base_leaves[name]
                 _, w_db, _ = db_leaves[name]
                 li = node.adapter.layer_info
+                if node.class_name in ("Embed", "Embedding"):
+                    continue  # embeddings never low-rank (full mode only)
                 if li.module_type == "linear" or li.is_conv:
                     if np.allclose(w_base, w_db):
                         continue
@@ -181,9 +183,10 @@ def extract_diff(
             lora_name = (prefix + "." + name).replace(".", "_")
             layer_kind = li.module_type
 
+            is_embedding = node.class_name in ("Embed", "Embedding")
             if mode == "full":
                 decompose_mode = "full"
-            elif li.is_norm or (not li.is_conv and layer_kind != "linear"):
+            elif is_embedding or li.is_norm or (not li.is_conv and layer_kind != "linear"):
                 # norms/embeddings are only stored in full mode
                 # (reference utils/__init__.py:236-246 'else: continue')
                 continue
