@@ -168,6 +168,32 @@ def test_stacking(rng):
     assert np.abs(d12 - d1).max() > 1e-6 and np.abs(d12 - d2).max() > 1e-6
 
 
+@pytest.mark.parametrize("algo", ["lora", "loha", "lokr"])
+def test_multiplier_scaling(algo, rng):
+    """multiplier interpolates the delta linearly (set_multiplier parity)."""
+    model, variables, x, graph = _build()
+    net = create_lycoris(graph, 1.0, 4, 1.0, algo=algo, rng=rng)
+    tree = net.params_tree()
+    key = rng
+    for ln, p in tree.items():
+        for k in list(p):
+            if k in net.lora_map[ln].trainable:
+                key, sub = jax.random.split(key)
+                p[k] = p[k] + jax.random.normal(sub, p[k].shape, p[k].dtype) * 0.005
+    base = model.apply(variables, x)
+    d_full = np.asarray(net(variables, x, adapter_params=tree) - base)
+    d_half = np.asarray(net(variables, x, adapter_params=tree, multiplier=0.5) - base)
+    d_zero = np.asarray(net(variables, x, adapter_params=tree, multiplier=0.0) - base)
+    np.testing.assert_allclose(d_zero, 0, atol=1e-5)
+    # deltas are small → the composed map is near-linear in the multiplier
+    np.testing.assert_allclose(d_half, d_full / 2, rtol=5e-2, atol=1e-4)
+
+    net.set_multiplier(0.5)
+    d_set = np.asarray(net(variables, x, adapter_params=tree) - base)
+    np.testing.assert_allclose(d_set, d_half, rtol=1e-5, atol=1e-6)
+    net.set_multiplier(1.0)
+
+
 def test_name_algo_map(rng):
     model, variables, x, graph = _build()
     LycorisNetwork.apply_preset(
