@@ -1,0 +1,135 @@
+"""Fused low-rank epilogue matmul: y = x @ (W + γ·up@down)ᵀ in ONE kernel.
+
+The BASELINE north star: the adapter's weight delta is reconstructed inside
+the base matmul instead of materializing W' = W + ΔW in HBM (the merged
+fast path writes and re-reads W' every layer, every step; the reference's
+delta pattern pays a second full matmul instead). Per (M, N) output tile the
+kernel builds the effective weight tile in VMEM — up_tile(tn,r) @ down(r,K)
+is a rank-r MXU matmul — and contracts against the x tile with fp32
+accumulation.
+
+Backward (custom_vjp): dx reuses the same fused kernel with the
+non-transposed effective weight; the factor grads are rank-r contractions
+(dup = γ·gᵀ(x·downᵀ), ddown = γ·(g·up)ᵀx) that XLA handles without help —
+no (N, K) gradient intermediate is ever materialized.
+
+Gated by LYCORIS_TPU_FUSED_LORA=1 (off by default pending perf validation on
+each shape class); jnp fallback everywhere else.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PREC = lax.Precision.HIGHEST
+
+
+def _tile(dim, target):
+    t = min(dim, target)
+    while dim % t:
+        t -= 1
+    return t
+
+
+def _fused_kernel_nt(x_ref, w_ref, down_ref, up_ref, scale_ref, o_ref):
+    """o[i,j] = x[i,:] @ (W[j,:] + s*up[j,:]@down)ᵀ  (W stored (N, K))."""
+    w_eff = w_ref[:].astype(jnp.float32) + scale_ref[0, 0] * jnp.dot(
+        up_ref[:], down_ref[:], preferred_element_type=jnp.float32, precision=_PREC
+    )
+    o_ref[:] = jnp.dot(
+        x_ref[:], w_eff.T.astype(x_ref.dtype), preferred_element_type=jnp.float32,
+        precision=_PREC,
+    ).astype(o_ref.dtype)
+
+
+def _fused_kernel_nn(g_ref, w_ref, down_ref, up_ref, scale_ref, o_ref):
+    """o[i,k] = g[i,:] @ (W[:,k] + s*(up@down)[:,k])  — for dx in backward."""
+    w_eff = w_ref[:].astype(jnp.float32) + scale_ref[0, 0] * jnp.dot(
+        up_ref[:], down_ref[:], preferred_element_type=jnp.float32, precision=_PREC
+    )
+    o_ref[:] = jnp.dot(
+        g_ref[:], w_eff.astype(g_ref.dtype), preferred_element_type=jnp.float32,
+        precision=_PREC,
+    ).astype(o_ref.dtype)
+
+
+def _call_fused(kernel, a, w, down, up, scale, out_cols_from_w_rows: bool):
+    M = a.shape[0]
+    N, K = w.shape
+    R = down.shape[0]
+    out_dim = N if out_cols_from_w_rows else K
+    tm = _tile(M, 256)
+    tn = _tile(N, 256) if out_cols_from_w_rows else _tile(K, 256)
+    scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
+    if out_cols_from_w_rows:
+        # y = a @ w_effᵀ : tile w rows
+        w_spec = pl.BlockSpec((tn, K), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+        up_spec = pl.BlockSpec((tn, R), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+        down_spec = pl.BlockSpec((R, K), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        a_spec = pl.BlockSpec((tm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    else:
+        # y = a @ w_eff : tile w cols
+        w_spec = pl.BlockSpec((N, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        up_spec = pl.BlockSpec((N, R), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        down_spec = pl.BlockSpec((R, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        a_spec = pl.BlockSpec((tm, N), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    grid = (M // tm, out_dim // tn)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            a_spec,
+            w_spec,
+            down_spec,
+            up_spec,
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, out_dim), a.dtype),
+    )(a, w, down, up, scale_arr)
+
+
+@jax.custom_vjp
+def fused_lora_matmul(x, w, down, up, scale=1.0):
+    """x: (M, K); w: (N, K) torch layout; down: (r, K); up: (N, r)."""
+    return _call_fused(_fused_kernel_nt, x, w, down, up, scale, True)
+
+
+def _fwd(x, w, down, up, scale):
+    return fused_lora_matmul(x, w, down, up, scale), (x, w, down, up, scale)
+
+
+def _bwd(res, g):
+    x, w, down, up, scale = res
+    # dx = g @ (W + s·up·down): same fused kernel, non-transposed weight
+    dx = _call_fused(_fused_kernel_nn, g, w, down, up, scale, False)
+    # factor grads via rank-r contractions (no (N, K) intermediate)
+    t = jnp.matmul(x.astype(jnp.float32), down.T.astype(jnp.float32), precision=_PREC)
+    dup = scale * jnp.matmul(g.T.astype(jnp.float32), t, precision=_PREC)
+    s = jnp.matmul(g.astype(jnp.float32), up.astype(jnp.float32), precision=_PREC)
+    ddown = scale * jnp.matmul(s.T, x.astype(jnp.float32), precision=_PREC)
+    return dx, None, ddown.astype(down.dtype), dup.astype(up.dtype), None
+
+
+fused_lora_matmul.defvjp(_fwd, _bwd)
+
+
+def enabled() -> bool:
+    return (
+        os.environ.get("LYCORIS_TPU_FUSED_LORA", "0") == "1"
+        and os.environ.get("LYCORIS_TPU_NO_PALLAS", "0") != "1"
+    )
+
+
+def supported(x_shape, w_shape) -> bool:
+    M = 1
+    for d in x_shape[:-1]:
+        M *= d
+    N, K = w_shape
+    return M >= 8 and N >= 128 and K >= 128

@@ -24,13 +24,16 @@ def interpret_pallas(monkeypatch):
         return orig(*args, **kwargs)
 
     monkeypatch.setattr(pl, "pallas_call", patched)
-    # re-import module under patched pallas_call
+    # re-import modules under patched pallas_call
     import importlib
     import lycoris_tpu.ops.hada as hada
+    import lycoris_tpu.ops.lora_fused as lora_fused
 
     importlib.reload(hada)
+    importlib.reload(lora_fused)
     yield hada
     importlib.reload(hada)
+    importlib.reload(lora_fused)
 
 
 @pytest.mark.parametrize("shape", [(64, 256, 8), (128, 384, 4)])
@@ -51,3 +54,33 @@ def test_hada_pallas_fwd_bwd(interpret_pallas, shape):
     gp = jax.grad(lambda *w: jnp.sum(hada.hada_weight_pallas(*w, 0.5) * g), argnums=(0, 1, 2, 3))(*ws)
     for a, b in zip(gr, gp):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(64, 256, 384, 8), (32, 128, 512, 4)])
+def test_fused_lora_matmul(interpret_pallas, shape):
+    from lycoris_tpu.ops import lora_fused
+
+    M, N, K, R = shape
+    k = jax.random.key(3)
+    x = jax.random.normal(jax.random.fold_in(k, 1), (M, K))
+    w = jax.random.normal(jax.random.fold_in(k, 2), (N, K))
+    down = jax.random.normal(jax.random.fold_in(k, 3), (R, K))
+    up = jax.random.normal(jax.random.fold_in(k, 4), (N, R))
+    scale = 0.25
+
+    ref = x @ (w + scale * up @ down).T
+    got = lora_fused.fused_lora_matmul(x, w, down, up, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+    g = jax.random.normal(jax.random.fold_in(k, 5), (M, N))
+
+    def loss_ref(x, down, up):
+        return jnp.sum((x @ (w + scale * up @ down).T) * g)
+
+    def loss_fused(x, down, up):
+        return jnp.sum(lora_fused.fused_lora_matmul(x, w, down, up, scale) * g)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, down, up)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, down, up)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-3)
