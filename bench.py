@@ -79,8 +79,10 @@ def main():
     print(f"[bench] {n_mod} adapter modules ({algo})", file=sys.stderr)
 
     mesh = shd.make_mesh()
+    merge_mode = os.environ.get("BENCH_MERGE_MODE", "interceptor")
     tr = DiffusionTrainer(model, variables, net, lr=1e-4, mesh=mesh,
-                          weight_dtype=jnp.bfloat16, merged_forward=merged)
+                          weight_dtype=jnp.bfloat16, merged_forward=merged,
+                          merge_mode=merge_mode)
     batch_data = {"latents": latents, "context": ctx}
 
     print("[bench] compiling + warmup...", file=sys.stderr)

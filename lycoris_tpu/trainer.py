@@ -55,8 +55,12 @@ class DiffusionTrainer:
         param_groups=None,  # optional LoRA+-style [(label, tree, lr)] groups
         merged_forward: bool = True,  # one matmul per layer (W+ΔW) instead of
         # the reference's base+delta two-matmul pattern; disable when stacking
+        merge_mode: str = "interceptor",  # "interceptor" | "premerge" (merge
+        # the whole param tree up front inside the step, then run the plain
+        # model — lets XLA schedule all adapter rebuilds concurrently)
     ):
         self.merged_forward = merged_forward
+        self.merge_mode = merge_mode
         self.model = model
         self.net = net
         self.mesh = mesh if mesh is not None else shd.make_mesh()
@@ -125,18 +129,22 @@ class DiffusionTrainer:
             kwargs = {}
             if added is not None:
                 kwargs["added_cond"] = added.astype(wd)
-            pred = net(
-                {"params": base_params},
-                noisy,
-                t,
-                context,
-                adapter_params=full_tree,
-                train=True,
-                rng=drop_rng,
-                model=model,
-                merged_forward=self.merged_forward,
-                **kwargs,
-            )
+            if self.merge_mode == "premerge":
+                merged = net.traced_merge(base_params, full_tree)
+                pred = model.apply({"params": merged}, noisy, t, context, **kwargs)
+            else:
+                pred = net(
+                    {"params": base_params},
+                    noisy,
+                    t,
+                    context,
+                    adapter_params=full_tree,
+                    train=True,
+                    rng=drop_rng,
+                    model=model,
+                    merged_forward=self.merged_forward,
+                    **kwargs,
+                )
             return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)
 
         def step_fn(adapter_params, buffers, opt_state, base_params, batch, rng):

@@ -698,6 +698,39 @@ class LycorisNetwork:
             return model.apply(variables, *args, **kwargs)
 
     # -- merge ---------------------------------------------------------------
+    def traced_merge(self, base_params, adapter_params=None, multiplier=1.0, dtype=None):
+        """Pure, jit-traceable merge: returns a new native params pytree with
+        every adapter folded in. Used by the pre-merge train mode (merge all
+        ΔW up front inside the step, then run the plain model — the layer
+        sweep is a static unroll, so XLA schedules all the tiny rebuild
+        matmuls concurrently ahead of the model's big ones)."""
+        # rebuild containers without copying leaves (tracer-safe)
+        new_params = jax.tree_util.tree_map(lambda x: x, base_params)
+
+        def set_in(tree, path, value):
+            sub = tree
+            for k in path[:-1]:
+                sub = sub[k]
+            sub[path[-1]] = value
+
+        for lora_name, lyco in self.lora_map.items():
+            if lyco.bypass_mode or lyco.not_supported:
+                continue
+            node = self.node_map[lora_name]
+            adapter = node.adapter
+            sub = base_params
+            for k in node.params_path:
+                sub = sub[k]
+            w, b = adapter.get_weights(sub)
+            p = self.merge_params(adapter_params, lora_name)
+            merged_w, merged_b = lyco.get_merged_weight(w, b, params=p, multiplier=multiplier)
+            merged_w = merged_w.astype(w.dtype if dtype is None else dtype)
+            if merged_b is not None and b is not None:
+                merged_b = merged_b.astype(b.dtype)
+            new_sub = adapter.put_weights(dict(sub), merged_w, merged_b)
+            set_in(new_params, node.params_path, new_sub)
+        return new_params
+
     def merge_to(self, weight=1.0, adapter_params=None):
         """Return a new native params pytree with every adapter merged in
         (functional analog of reference merge_to, base.py:326-342)."""
