@@ -28,16 +28,16 @@ def _on_tpu() -> bool:
 
 
 def _use_flash(q, k) -> bool:
-    if os.environ.get("LYCORIS_TPU_NO_PALLAS", "0") == "1" or not _on_tpu():
+    mode = os.environ.get("LYCORIS_TPU_FLASH", "auto")
+    if mode == "off" or os.environ.get("LYCORIS_TPU_NO_PALLAS", "0") == "1" or not _on_tpu():
         return False
     tq, tk = q.shape[1], k.shape[1]
-    # head_dim must fill MXU lanes: with d=40 (SD1.5) the kernel pads to 128
-    # and wastes 3x the matmul work — measured SLOWER than XLA's fused
-    # attention on v5e (bench: 1.10 vs 2.13 steps/s). Only dispatch when the
-    # head dim is lane-aligned.
-    return (
-        tq == tk and tq >= 1024 and tq % 512 == 0 and q.shape[-1] % 128 == 0
-    )
+    shape_ok = tq == tk and tq >= 1024 and tq % 512 == 0
+    if mode == "force":
+        return shape_ok
+    # auto: additionally require lane-aligned head dims — with d=40 (SD1.5)
+    # the kernel pads to 128 lanes and wastes 3x the matmul work
+    return shape_ok and q.shape[-1] % 128 == 0
 
 
 def dot_product_attention(q, k, v):
