@@ -25,6 +25,8 @@ from .diag_oft import get_r
 
 
 def weight_gen(org_weight_shape, max_block_size: int, boft_m: int = -1, rescale: bool = False, dtype=jnp.float32):
+    if hasattr(org_weight_shape, "shape"):
+        org_weight_shape = org_weight_shape.shape
     out_dim, *rest = org_weight_shape
     block_size, block_num = power2factorization(out_dim, max_block_size)
     if block_size is None:

@@ -44,6 +44,8 @@ def get_r(oft_blocks: jax.Array, I: jax.Array | None = None, constraint=0) -> ja
 
 def weight_gen(org_weight_shape, max_block_size: int = -1, rescale: bool = False, dtype=jnp.float32):
     """Zero-init oft blocks (identity rotation) and optional rescale vector."""
+    if hasattr(org_weight_shape, "shape"):
+        org_weight_shape = org_weight_shape.shape
     out_dim, *rest = org_weight_shape
     block_size, block_num = factorization(out_dim, max_block_size)
     oft_blocks = jnp.zeros((block_num, block_size, block_size), dtype=dtype)

@@ -29,9 +29,11 @@ from .general import (
 def weight_gen(key: jax.Array, org_weight_shape, rank: int, tucker: bool = True, dtype=jnp.float32):
     """Generate (down, up, mid) params for a layer with torch-layout weight shape.
 
-    ``org_weight_shape``: (out_dim, in_dim, *k). Returns mid=None unless the
-    layer is a conv and ``tucker``.
+    ``org_weight_shape``: (out_dim, in_dim, *k) — or a live array, whose
+    shape is used (reference API passes the tensor itself).
     """
+    if hasattr(org_weight_shape, "shape"):
+        org_weight_shape = org_weight_shape.shape
     out_dim, in_dim, *k = org_weight_shape
     k_down, k_mid = jax.random.split(key)
     if k and tucker:

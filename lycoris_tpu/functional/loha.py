@@ -118,6 +118,8 @@ def make_weight_tucker(t1, w1d, w1u, t2, w2d, w2u, scale):
 
 def weight_gen(key: jax.Array, org_weight_shape, rank: int, tucker: bool = True, dtype=jnp.float32):
     """Generate (w1d, w1u, w2d, w2u, t1, t2). Init parity: loha.py:96-116."""
+    if hasattr(org_weight_shape, "shape"):
+        org_weight_shape = org_weight_shape.shape
     out_dim, in_dim, *k = org_weight_shape
     k1, k2, k3, k4 = jax.random.split(key, 4)
     if k and tucker:

@@ -58,6 +58,8 @@ def weight_gen(
 
     Branch structure and init parity: reference lokr.py:41-121.
     """
+    if hasattr(org_weight_shape, "shape"):
+        org_weight_shape = org_weight_shape.shape
     out_dim, in_dim, *k = org_weight_shape
     w1 = w1a = w1b = None
     w2 = w2a = w2b = None
