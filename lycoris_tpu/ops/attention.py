@@ -32,12 +32,22 @@ def _use_flash(q, k) -> bool:
     if mode == "off" or os.environ.get("LYCORIS_TPU_NO_PALLAS", "0") == "1" or not _on_tpu():
         return False
     tq, tk = q.shape[1], k.shape[1]
-    shape_ok = tq == tk and tq >= 1024 and tq % 512 == 0
-    if mode == "force":
-        return shape_ok
-    # auto: additionally require lane-aligned head dims — with d=40 (SD1.5)
-    # the kernel pads to 128 lanes and wastes 3x the matmul work
-    return shape_ok and q.shape[-1] % 128 == 0
+    return tq == tk and tq >= 1024 and tq % 1024 == 0
+
+
+def _block_sizes(t: int):
+    """Large (1024) blocks amortize the head-dim lane padding: measured on
+    v5e at (B8, H8, T4096, D40) — fwd+bwd 22 ms vs 48 ms XLA vs 107 ms with
+    the kernel's default blocks."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    bq = min(t, 1024)
+    bk = min(t, 1024)
+    return fa.BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=512, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=512, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=512, block_q_dq=bq,
+    )
 
 
 def dot_product_attention(q, k, v):
@@ -51,6 +61,7 @@ def dot_product_attention(q, k, v):
             k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3),
             sm_scale=sm_scale,
+            block_sizes=_block_sizes(q.shape[1]),
         )
         return o.transpose(0, 2, 1, 3)
     return jax.nn.dot_product_attention(q, k, v)
