@@ -39,11 +39,27 @@ def _round_up(x, m):
 
 
 def _tile(dim, target):
-    """Largest divisor of dim that is <= target (keeps grid exact)."""
-    t = min(dim, target)
-    while dim % t:
-        t -= 1
-    return t
+    """Sublane (second-to-last) tile: largest divisor of dim <= target that is
+    a multiple of 8; falls back to the full dim (Mosaic requires the
+    second-to-last block dim % 8 == 0 OR == the array dim)."""
+    # multiples of 16 cover the strictest (bf16) sublane packing
+    t = min(dim, target) // 16 * 16
+    while t >= 16:
+        if dim % t == 0:
+            return t
+        t -= 16
+    return dim
+
+
+def _tile_lane(dim, target=512):
+    """Last-dim tile: largest divisor of dim <= target that is a multiple of
+    128; falls back to the full dim (Mosaic lane constraint)."""
+    t = min(dim, target) // 128 * 128
+    while t >= 128:
+        if dim % t == 0:
+            return t
+        t -= 128
+    return dim
 
 
 # ---------------------------------------------------------------------------
@@ -61,7 +77,7 @@ def _hada_fwd_pallas(w1d, w1u, w2d, w2u, scale):
     O, R = w1u.shape
     _, I = w1d.shape
     tm = _tile(O, 256)
-    tn = _tile(I, 256)
+    tn = _tile_lane(I, 512)
     grid = (O // tm, I // tn)
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
     return pl.pallas_call(
@@ -122,7 +138,7 @@ def _hada_bwd_pallas(w1d, w1u, w2d, w2u, scale, g):
     O, R = w1u.shape
     _, I = w1d.shape
     tm = _tile(O, 256)
-    tn = _tile(I, 256)
+    tn = _tile_lane(I, 512)
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
 
     g1u, g2u = pl.pallas_call(
