@@ -29,7 +29,9 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/lycoris_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
-REFERENCE_IT_PER_S = 3.45  # RTX4090, SD1.5, batch 8 (docs/Guidelines.md:62)
+# RTX4090, SD1.5, batch 8, 49622 steps (docs/Guidelines.md:59-84): per-algo
+# attn-mlp rows — LoRA dim8 4h, LoHa dim16 4h10m, LoKr full factor8 3h40m
+REFERENCE_IT_PER_S = {"lora": 3.45, "loha": 3.31, "lokr": 3.76}
 
 
 def main():
@@ -94,7 +96,7 @@ def main():
         "metric": f"{'sdxl' if use_sdxl else 'sd15'}-{algo}-attnmlp-dim8-b{batch} train steps/sec/chip",
         "value": round(per_chip, 4),
         "unit": "steps/sec/chip",
-        "vs_baseline": round(per_chip / REFERENCE_IT_PER_S, 4),
+        "vs_baseline": round(per_chip / REFERENCE_IT_PER_S.get(algo, 3.45), 4),
     }
     print(json.dumps(result))
 
