@@ -32,7 +32,10 @@ def _use_flash(q, k) -> bool:
     if mode == "off" or os.environ.get("LYCORIS_TPU_NO_PALLAS", "0") == "1" or not _on_tpu():
         return False
     tq, tk = q.shape[1], k.shape[1]
-    return tq == tk and tq >= 1024 and tq % 1024 == 0
+    d = q.shape[-1]
+    # the kernel pads head_dim up to 128 but requires multiples of 128 beyond
+    d_ok = d <= 128 or d % 128 == 0
+    return tq == tk and tq >= 1024 and tq % 1024 == 0 and d_ok
 
 
 def _block_sizes(t: int):
