@@ -65,8 +65,12 @@ def main():
     print(f"[bench] init {'sdxl' if use_sdxl else 'sd15'} unet...", file=sys.stderr)
     variables = jax.eval_shape(lambda r: model.init(r, latents, t, ctx), rng)
     # materialize params without a full random init pass (zeros are fine for
-    # a throughput bench and avoid a second multi-second compile)
-    variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), variables)
+    # a throughput bench), directly in the train dtype: creating fp32 zeros
+    # first would transiently hold 2x the params in HBM (OOMs SDXL on 16GB)
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+        variables,
+    )
 
     graph = ModelGraph.from_linen(model, variables, latents, t, ctx)
     # attn-mlp workload: adapt ONLY the transformer blocks, matching the
