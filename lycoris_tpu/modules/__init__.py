@@ -43,13 +43,27 @@ def get_module(lyco_state_dict, lora_name):
     return None, None
 
 
-def make_module(module_class, params, lora_name, layer: LayerInfo):
+def make_module(module_class, params, lora_name, layer: LayerInfo, dtype=None):
     """Instantiate from extracted params; None when unsupported
-    (reference modules/__init__.py:40-46)."""
+    (reference modules/__init__.py:40-46).
+
+    Loaded tensors are normalized to ``dtype`` (default fp32) — real LyCORIS
+    files are usually fp16, and the reference upcasts on load into its fp32
+    parameters (torch ``copy_`` casts); fp16 compute would underflow the
+    merge math on TPU."""
+    import jax.numpy as jnp
+
     try:
-        return module_class.make_module_from_state_dict(lora_name, layer, *params)
+        module = module_class.make_module_from_state_dict(lora_name, layer, *params)
     except NotImplementedError:
         return None
+    if module is not None:
+        target = jnp.float32 if dtype is None else dtype
+        module.params = {
+            k: v.astype(target) if jnp.issubdtype(v.dtype, jnp.floating) else v
+            for k, v in module.params.items()
+        }
+    return module
 
 
 __all__ = [

@@ -96,3 +96,35 @@ def test_reference_file_loads_and_merges(algo, kwargs, ref, tmp_path):
         max_d = np.max(np.abs(got - want))
         assert max_d <= 1e-3, f"{algo} {name}: max|Δ|={max_d}"  # BASELINE gate
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fp16_file_loads_as_fp32(ref, tmp_path):
+    """Real LyCORIS files are fp16; loading must upcast (reference torch
+    copy_ semantics) so TPU merge math doesn't run in fp16."""
+    import jax.numpy as jnp
+    from safetensors.torch import save_file
+
+    from lycoris import create_lycoris as ref_create
+
+    torch.manual_seed(3)
+    t_model = _torch_model()
+    base_sd = {k: v.detach().clone() for k, v in t_model.state_dict().items()}
+    r_net = ref_create(t_model, 1.0, linear_dim=4, linear_alpha=4.0, algo="loha", preset="full")
+    r_net.apply_to()
+    with torch.no_grad():
+        for p in r_net.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+    f = str(tmp_path / "fp16.safetensors")
+    save_file({k: v.detach().half().contiguous() for k, v in r_net.state_dict().items()}, f)
+    r_net.restore()
+    t_model.load_state_dict(base_sd)
+
+    graph = ModelGraph.from_torch(t_model)
+    j_net, _ = create_lycoris_from_weights(1.0, f, graph)
+    assert j_net.loras
+    for lora in j_net.loras:
+        for k, v in lora.params.items():
+            assert v.dtype in (jnp.float32, jnp.int32), (lora.lora_name, k, v.dtype)
+    merged = j_net.merge_to(1.0)
+    for name in merged:
+        assert np.isfinite(np.asarray(merged[name]["weight"])).all()
