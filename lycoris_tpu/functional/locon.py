@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from .general import (
     kaiming_uniform,
-    linear,
     convnd,
     op_by_ndim,
     op_precision,

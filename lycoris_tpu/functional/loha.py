@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .general import kaiming_uniform, normal_init, op_by_ndim, op_precision
+from .general import normal_init, op_by_ndim, op_precision
 
 
 def _mm(a, b):

@@ -22,7 +22,7 @@ safetensors checkpoints stay bit-compatible with PyTorch LyCORIS files.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

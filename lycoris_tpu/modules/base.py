@@ -21,8 +21,6 @@ Design mapping (reference → here):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
-
 import jax
 import jax.numpy as jnp
 import numpy as np
