@@ -698,7 +698,8 @@ class LycorisNetwork:
             return model.apply(variables, *args, **kwargs)
 
     # -- merge ---------------------------------------------------------------
-    def traced_merge(self, base_params, adapter_params=None, multiplier=1.0, dtype=None):
+    def traced_merge(self, base_params, adapter_params=None, multiplier=1.0, dtype=None,
+                     include_bypass=False):
         """Pure, jit-traceable merge: returns a new native params pytree with
         every adapter folded in. Used by the pre-merge train mode (merge all
         ΔW up front inside the step, then run the plain model — the layer
@@ -714,10 +715,12 @@ class LycorisNetwork:
             sub[path[-1]] = value
 
         for lora_name, lyco in self.lora_map.items():
-            if lyco.bypass_mode or lyco.not_supported:
+            if lyco.not_supported or (lyco.bypass_mode and not include_bypass):
                 continue
             node = self.node_map[lora_name]
             adapter = node.adapter
+            if adapter.put_weights is None:  # quantized base: not mergeable
+                continue
             sub = base_params
             for k in node.params_path:
                 sub = sub[k]
@@ -733,35 +736,17 @@ class LycorisNetwork:
 
     def merge_to(self, weight=1.0, adapter_params=None):
         """Return a new native params pytree with every adapter merged in
-        (functional analog of reference merge_to, base.py:326-342)."""
-        params = self.graph.params
-        flat = dict(params) if self.graph.framework == "torch" else None
-        import copy
+        (functional analog of reference merge_to, base.py:326-342). Runs as
+        ONE jitted program — merging eagerly dispatches thousands of tiny ops
+        (fatal on remote-dispatch runtimes)."""
+        if adapter_params is None:
+            adapter_params = self.params_tree()
+        params = jax.tree_util.tree_map(jnp.asarray, self.graph.params)
 
-        new_params = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, params))
-
-        def set_in(tree, path, value):
-            sub = tree
-            for k in path[:-1]:
-                sub = sub[k]
-            sub[path[-1]] = value
-
-        for lora_name, lyco in self.lora_map.items():
-            node = self.node_map[lora_name]
-            adapter = node.adapter
-            sub = self.graph.get_params(node)
-            w, b = adapter.get_weights(sub)
-            p = self.merge_params(adapter_params, lora_name)
-            merged_w, merged_b = lyco.get_merged_weight(
-                jnp.asarray(w, dtype=jnp.float32),
-                None if b is None else jnp.asarray(b, dtype=jnp.float32),
-                params=p,
-                multiplier=weight,
-            )
-            merged_w = merged_w.astype(np.asarray(w).dtype)
-            new_sub = adapter.put_weights(dict(sub), merged_w, merged_b)
-            set_in(new_params, node.params_path, new_sub)
-        return new_params
+        merged = jax.jit(
+            lambda bp, ap: self.traced_merge(bp, ap, multiplier=weight, include_bypass=True)
+        )(params, adapter_params)
+        return jax.tree_util.tree_map(lambda x: x, merged)
 
     def onfly_merge(self, weight=1.0, adapter_params=None):
         """Swap the graph's params for merged ones (inference-time merge;
