@@ -58,9 +58,17 @@ class DiffusionTrainer:
         merge_mode: str = "interceptor",  # "interceptor" | "premerge" (merge
         # the whole param tree up front inside the step, then run the plain
         # model — lets XLA schedule all adapter rebuilds concurrently)
+        auto_layout: bool = True,  # compile with Layout.AUTO for the frozen
+        # base params and device_put them into the executable's preferred
+        # layouts — XLA's preferred conv-weight layout differs from the
+        # default row-major one, and without this every step pays an HBM
+        # relayout copy per conv weight (~tens of ms/step at SD scale)
     ):
         self.merged_forward = merged_forward
         self.merge_mode = merge_mode
+        self.auto_layout = auto_layout
+        self._compiled = None
+        self._compiled_shapes = None
         self.model = model
         self.net = net
         self.mesh = mesh if mesh is not None else shd.make_mesh()
@@ -154,15 +162,58 @@ class DiffusionTrainer:
             return adapter_params, opt_state, loss
 
         rep = NamedSharding(mesh, P())
+        self._raw_step_fn = step_fn
+        self._out_shardings = (rep, rep, rep)
         return jax.jit(
             step_fn,
             out_shardings=(rep, rep, rep),
             donate_argnums=(0, 2),  # adapter params + opt state (NOT buffers)
         )
 
+    def _compile_auto_layout(self, batch, rng):
+        """AOT-compile the step with Layout.AUTO on the frozen base params and
+        move them into the executable's preferred layouts.
+
+        Without this the compiled program relayouts large conv weights from
+        row-major to its preferred tiling every step (visible as copy-start/
+        copy-done pairs in the profile). One-time device_put instead."""
+        try:
+            from jax.experimental.layout import Format, Layout
+        except ImportError:  # older jax — keep the plain jit path
+            self.auto_layout = False
+            return
+        auto = jax.tree_util.tree_map(lambda _: Format(Layout.AUTO), self.base_params)
+        fn = jax.jit(
+            self._raw_step_fn,
+            in_shardings=(None, None, None, auto, None, None),
+            out_shardings=self._out_shardings,
+            donate_argnums=(0, 2),
+        )
+        base_abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+            self.base_params,
+        )
+        compiled = fn.lower(
+            self.adapter_params, self.adapter_buffers, self.opt_state,
+            base_abstract, batch, rng,
+        ).compile()
+        base_formats = compiled.input_formats[0][3]
+        self.base_params = jax.tree_util.tree_map(
+            lambda x, f: jax.device_put(x, f), self.base_params, base_formats
+        )
+        self._compiled = compiled
+        self._compiled_shapes = jax.tree_util.tree_map(jnp.shape, batch)
+
     def train_step(self, batch, rng):
         batch = shd.shard_batch(batch, self.mesh)
-        self.adapter_params, self.opt_state, loss = self._step_fn(
+        if self.auto_layout and self._compiled is None:
+            self._compile_auto_layout(batch, rng)
+        fn = self._step_fn
+        if self._compiled is not None and self._compiled_shapes == jax.tree_util.tree_map(
+            jnp.shape, batch
+        ):
+            fn = self._compiled
+        self.adapter_params, self.opt_state, loss = fn(
             self.adapter_params, self.adapter_buffers, self.opt_state, self.base_params, batch, rng
         )
         self.step += 1
