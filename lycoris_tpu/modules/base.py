@@ -176,6 +176,17 @@ def apply_weight_decompose(weight, dora_scale, wd_on_out: bool, multiplier=1.0):
     return weight * scale
 
 
+def infer_wd_on_out(dora_scale, out_dim) -> bool:
+    """Recover the wd_on_out flag from a saved ``dora_scale`` shape:
+    on-out scales are (out_dim, 1, …), on-input ones (1, in_dim, …). The
+    reference blindly copies into the default on-out buffer and crashes on
+    shape mismatch (locon.py make_module_from_state_dict); we infer instead."""
+    shape = tuple(getattr(dora_scale, "shape", ()))
+    if len(shape) == 0:
+        return True
+    return shape[0] != 1 or out_dim == 1
+
+
 def init_dora_scale(org_weight, wd_on_out: bool):
     """dora_scale init = row (wd_on_out) or col norms of org weight (locon.py:107-129)."""
     w = org_weight.astype(jnp.float32)

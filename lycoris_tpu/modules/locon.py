@@ -35,6 +35,7 @@ from .base import (
     LycorisBaseModule,
     apply_weight_decompose,
     dropout as traced_dropout,
+    infer_wd_on_out,
     init_dora_scale,
     rank_dropout_mask,
 )
@@ -150,6 +151,7 @@ class LoConModule(LycorisBaseModule):
             alpha,
             use_tucker=mid is not None,
             weight_decompose=dora_scale is not None,
+            wd_on_out=infer_wd_on_out(dora_scale, layer.shape[0]),
         )
         module.params["lora_up.weight"] = jnp.asarray(up).reshape(
             module.params["lora_up.weight"].shape

@@ -27,6 +27,7 @@ from .base import (
     _as_float,
     apply_weight_decompose,
     dropout as traced_dropout,
+    infer_wd_on_out,
     init_dora_scale,
     rank_dropout_mask,
 )
@@ -152,6 +153,7 @@ class LohaModule(LycorisBaseModule):
             alpha,
             use_tucker=t1 is not None,
             weight_decompose=dora_scale is not None,
+            wd_on_out=infer_wd_on_out(dora_scale, layer.shape[0]),
         )
         for key, val in [
             ("hada_w1_a", w1a),

@@ -35,6 +35,7 @@ from .base import (
     _as_float,
     apply_weight_decompose,
     dropout as traced_dropout,
+    infer_wd_on_out,
     init_dora_scale,
     rank_dropout_mask,
 )
@@ -256,6 +257,7 @@ class LokrModule(LycorisBaseModule):
             decompose_both=w1 is None and w2 is None,
             factor=factor,
             weight_decompose=dora_scale is not None,
+            wd_on_out=infer_wd_on_out(dora_scale, layer.shape[0]),
             full_matrix=full_matrix,
         )
         for key, val in [

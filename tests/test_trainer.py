@@ -66,6 +66,24 @@ def test_train_step_model_sharded():
     assert np.isfinite([l0, l1]).all()
 
 
+def test_auto_layout_matches_plain_jit():
+    """Layout.AUTO AOT path produces the same loss trajectory as plain jit
+    (base params relocated into the executable's preferred layouts must be
+    numerically transparent)."""
+    losses = {}
+    for auto in (False, True):
+        model, variables, net, batch = _tiny_setup("lokr")
+        tr = DiffusionTrainer(model, variables, net, lr=1e-2,
+                              weight_dtype=jnp.float32, auto_layout=auto)
+        rng = jax.random.key(5)
+        losses[auto] = [
+            float(tr.train_step(batch, jax.random.fold_in(rng, i))) for i in range(4)
+        ]
+        if auto:
+            assert tr._compiled is not None  # the AOT executable actually ran
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
+
+
 def test_trained_adapters_merge():
     model, variables, net, batch = _tiny_setup("lokr")
     tr = DiffusionTrainer(model, variables, net, lr=1e-2, weight_dtype=jnp.float32)
