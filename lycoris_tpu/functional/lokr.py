@@ -183,8 +183,10 @@ def bypass_diff_with_scale(h, *weights, scale=1.0, extra_args={}):
         a = w2b
         b = w2a
         if tucker:
+            # tucker layout (rebuild_tucker): w2a is (rank, vp), w2b (rank, vq);
+            # as 1×1 conv kernels the last hop needs (vp, rank)
             a = a.reshape(*a.shape, *[1] * (dim - 2))
-            b = b.reshape(*b.shape, *[1] * (dim - 2))
+            b = b.T.reshape(*b.T.shape, *[1] * (dim - 2))
         elif is_conv:
             b = b.reshape(*b.shape, *[1] * (dim - 2))
 

@@ -200,10 +200,14 @@ class LokrModule(LycorisBaseModule):
         cls, lora_name, layer, w1, w1a, w1b, w2, w2a, w2b, _t1, t2, alpha, dora_scale
     ):
         full_matrix = False
+        # tucker layout stores w2a as (rank, b) / w2b as (rank, d) — the
+        # reference reads w2a.size(1) regardless and so mis-infers rank on
+        # tucker files (lokr.py:263-269); dispatch on t2 presence instead
+        tucker = t2 is not None
         if w1a is not None:
             lora_dim = w1a.shape[1]
         elif w2a is not None:
-            lora_dim = w2a.shape[1]
+            lora_dim = w2a.shape[0] if tucker else w2a.shape[1]
         else:
             full_matrix = True
             lora_dim = 1
@@ -214,7 +218,7 @@ class LokrModule(LycorisBaseModule):
             out_dim, in_dim = w1.shape
         shape_s = [out_dim, in_dim]
         if w2 is None:
-            out_dim *= w2a.shape[0]
+            out_dim *= w2a.shape[1] if tucker else w2a.shape[0]
             in_dim *= w2b.shape[1]
         else:
             out_dim *= w2.shape[0]
@@ -224,12 +228,17 @@ class LokrModule(LycorisBaseModule):
             factor = -1
         else:
             w1_shape = tuple(w1.shape) if w1 is not None else (w1a.shape[0], w1b.shape[1])
-            w2_shape = tuple(w2.shape[:2]) if w2 is not None else (w2a.shape[0], w2b.shape[1])
+            if w2 is not None:
+                w2_shape = tuple(w2.shape[:2])
+            elif tucker:
+                w2_shape = (w2a.shape[1], w2b.shape[1])
+            else:
+                w2_shape = (w2a.shape[0], w2b.shape[1])
             shape_group_1 = (w1_shape[0], w2_shape[0])
             shape_group_2 = (w1_shape[1], w2_shape[1])
             w_shape = (w1_shape[0] * w2_shape[0], w1_shape[1] * w2_shape[1])
             factor1 = max(w1_shape) if w1 is not None else max(w1a.shape[0], w1b.shape[1])
-            factor2 = max(w2_shape) if w2 is not None else max(w2a.shape[0], w2b.shape[1])
+            factor2 = max(w2_shape)
             if (
                 w_shape[0] % factor1 == 0
                 and w_shape[1] % factor1 == 0

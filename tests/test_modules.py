@@ -168,6 +168,87 @@ def test_norm_module(rng):
 
 
 # ---------------------------------------------------------------------------
+# tucker / use_scalar axes (reference test/module.py sweeps wd×tucker×scalar)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("algo", ["locon", "loha", "lokr"])
+def test_tucker_conv(algo, rng):
+    layer_info, x_shape = LAYERS["conv2d"]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    w = jax.random.normal(k1, layer_info.shape)
+    x = jax.random.normal(k2, x_shape)
+    if algo == "lokr":
+        # rank must stay below max(b,d)/2=2 or w2 is forced full (no tucker),
+        # mirroring the reference's forced-full branch (lokr.py:114-136)
+        mod = ALGOS[algo]("test", layer_info, 1.0, lora_dim=1, alpha=1.0,
+                          rng=jax.random.key(42), org_weight=w, use_tucker=True)
+    else:
+        mod = _make(algo, layer_info, w, use_tucker=True)
+    assert mod.tucker
+
+    # zero-init no-op
+    out = mod.forward(x, org_weight=w)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(layer_info.op(x, w)), rtol=1e-5, atol=1e-5
+    )
+
+    # noised: bypass == rebuild, and state-dict round trip preserves tucker
+    params = _noise_tucker(mod, k3)
+    rebuilt = mod.forward(x, org_weight=w, params=params)
+    bypassed = mod.bypass_forward(
+        x, params=params, scale=1.0, org_forward=lambda z: layer_info.op(z, w)
+    )
+    assert float(jnp.mean((rebuilt - bypassed) ** 2)) < 5e-6
+
+    sd = {f"test.{k}": np.asarray(v) for k, v in mod.custom_state_dict(params).items()}
+    cls, extracted = get_module(sd, "test")
+    mod2 = make_module(cls, extracted, "test", layer_info)
+    assert mod2.tucker
+    m1 = mod.get_merged_weight(w, params=params)[0]
+    m2 = mod2.get_merged_weight(w)[0]
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-4, atol=1e-5)
+
+
+def _noise_tucker(mod, key, scale=0.01):
+    out = dict(mod.params)
+    for k, v in out.items():
+        if jnp.issubdtype(v.dtype, jnp.floating) and k != "alpha":
+            key, sub = jax.random.split(key)
+            out[k] = v + jax.random.normal(sub, v.shape, v.dtype) * scale
+    return out
+
+
+def test_locon_use_scalar(rng):
+    """use_scalar: kaiming up + trainable 0-init scalar; custom_state_dict
+    folds the scalar into lora_up.weight (locon.py:150-161, 262-271)."""
+    layer_info, x_shape = LAYERS["linear"]
+    k1, k2 = jax.random.split(rng)
+    w = jax.random.normal(k1, layer_info.shape)
+    x = jax.random.normal(k2, x_shape)
+    mod = _make("locon", layer_info, w, use_scalar=True)
+    assert "scalar" in mod.trainable
+    assert float(mod.params["scalar"]) == 0.0
+    assert float(jnp.abs(mod.params["lora_up.weight"]).sum()) > 0  # kaiming, not zeros
+
+    # scalar=0 → still a no-op at init
+    out = mod.forward(x, org_weight=w)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(layer_info.op(x, w)), rtol=1e-5, atol=1e-5
+    )
+
+    params = dict(mod.params)
+    params["scalar"] = jnp.asarray(0.7)
+    sd = {f"test.{k}": np.asarray(v) for k, v in mod.custom_state_dict(params).items()}
+    assert "test.scalar" not in sd  # folded away
+    cls, extracted = get_module(sd, "test")
+    mod2 = make_module(cls, extracted, "test", layer_info)
+    m1 = mod.get_merged_weight(w, params=params)[0]
+    m2 = mod2.get_merged_weight(w)[0]
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
 # bf16 dtype grid (reference test/module.py runs cpu/cuda × fp32/fp16/bf16)
 # ---------------------------------------------------------------------------
 
