@@ -294,6 +294,46 @@ REF_ALGO = {
 }
 
 
+@pytest.mark.parametrize("algo", ["locon", "loha", "lokr"])
+def test_tucker_merged_weight_matches_reference(algo, ref):
+    """Tucker-mode goldens: reference conv module with use_tucker=True, its
+    state dict loaded by our detector, merged weights must agree. (The
+    reference's own loader mis-infers rank on tucker LoKr files — we load its
+    SAVED format correctly, which is the direction real files flow.)"""
+    import importlib
+    import torch
+
+    torch.manual_seed(0)
+    t_layer = TORCH_LAYER["conv2d"](torch)
+    mod_path, cls_name = REF_ALGO[algo]
+    r_cls = getattr(importlib.import_module(mod_path), cls_name)
+    alpha = 4.0 if algo in ("loha", "lokr") else 1.0
+    # lokr: rank must stay under max(b,d)/2 or w2 goes full and tucker is moot
+    dim = 1 if algo == "lokr" else 4
+    alpha = 1.0 if algo == "lokr" else alpha
+    r_mod = r_cls("test", t_layer, 1.0, lora_dim=dim, alpha=alpha, use_tucker=True)
+    with torch.no_grad():
+        for p in r_mod.parameters():
+            p.add_(torch.randn_like(p) * 0.01)
+
+    li = LayerInfo.conv(2, DIM, DIM, 3, padding=1)
+    w = jnp.asarray(t_layer.weight.detach().numpy())
+    sd = {f"test.{k}": v.detach().numpy() for k, v in r_mod.state_dict().items()}
+    assert any("t1" in k or "t2" in k or "mid" in k for k in sd), sd.keys()
+    cls, extracted = get_module(sd, "test")
+    j_mod = make_module(cls, extracted, "test", li)
+    assert j_mod.tucker
+
+    r_merged = (
+        r_mod.get_merged_weight(multiplier=1.0, shape=t_layer.weight.shape)[0]
+        .detach()
+        .numpy()
+    )
+    j_merged = np.asarray(j_mod.get_merged_weight(w)[0])
+    assert np.max(np.abs(j_merged - r_merged)) <= 1e-3  # BASELINE gate
+    np.testing.assert_allclose(j_merged, r_merged, rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("layer", ["linear", "conv2d"])
 @pytest.mark.parametrize("algo", ["locon", "loha", "lokr", "diag_oft", "boft"])
 def test_merged_weight_matches_reference(algo, layer, ref):
