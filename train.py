@@ -88,11 +88,16 @@ def main():
     latent_hw = resolution // 8
 
     # --- model (synthetic-weight SD1.5 UNet unless a checkpoint is given)
-    if basics.get("model_config") == "tiny":  # smoke-test mode
+    model_config = basics.get("model_config", "sdxl" if resolution >= 1024 else "sd15")
+    if model_config == "tiny":  # smoke-test mode
         from lycoris_tpu.models.unet import tiny_unet_config
 
         ucfg = tiny_unet_config()
         latent_hw = 8
+    elif model_config == "sdxl":
+        from lycoris_tpu.models.unet import sdxl_config
+
+        ucfg = sdxl_config(dtype=jnp.bfloat16, remat=True)
     else:
         ucfg = sd15_config(dtype=jnp.bfloat16, remat="transformer")
     model = UNet2DConditionModel(ucfg)
