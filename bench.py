@@ -48,8 +48,10 @@ def main():
     LycorisNetwork.reset_preset()
     merged = os.environ.get("BENCH_MERGED", "1") == "1"
     # defaults: SD1.5 fits batch 8 without remat once flash attention frees
-    # the T^2 activations (measured 4.09 vs 3.39 steps/s); SDXL still needs it
-    remat_env = os.environ.get("BENCH_REMAT", "1" if use_sdxl else "0")
+    # the T^2 activations (measured 4.09 vs 3.39 steps/s); SDXL needs remat but
+    # only on the transformer blocks (b2: 2.03 vs 1.94 full-remat steps/s;
+    # remat=0 OOMs at 18.5G/15.75G)
+    remat_env = os.environ.get("BENCH_REMAT", "transformer" if use_sdxl else "0")
     remat = {"0": False, "1": True, "transformer": "transformer"}.get(remat_env, remat_env)
     if use_sdxl:
         cfg = sdxl_config(dtype=jnp.bfloat16, remat=remat)
