@@ -29,6 +29,7 @@ if _os.environ.get("LYCORIS_FORCE_CPU", "0") == "1":
 
 from . import functional
 from . import modules
+from . import utils
 from .logging import logger
 from .graph import ModelGraph
 from .wrapper import (
@@ -36,6 +37,20 @@ from .wrapper import (
     create_lycoris,
     create_lycoris_from_weights,
 )
+
+# module classes at package top level, mirroring reference
+# lycoris/__init__.py:10-18 (plus the two it omits: IA3, BOFT)
+from .modules.locon import LoConModule
+from .modules.loha import LohaModule
+from .modules.lokr import LokrModule
+from .modules.dylora import DyLoraModule
+from .modules.glora import GLoRAModule
+from .modules.norms import NormModule
+from .modules.full import FullModule
+from .modules.ia3 import IA3Module
+from .modules.diag_oft import DiagOFTModule
+from .modules.boft import ButterflyOFTModule
+from .modules import make_module
 
 # kohya layer is optional in the reference (lycoris/__init__.py:1-26 wraps it
 # in try/except); here it has no extra deps but we keep the same surface
@@ -47,11 +62,23 @@ except ImportError:  # pragma: no cover
 __all__ = [
     "functional",
     "modules",
+    "utils",
     "kohya",
     "logger",
     "ModelGraph",
     "LycorisNetwork",
     "create_lycoris",
     "create_lycoris_from_weights",
+    "LoConModule",
+    "LohaModule",
+    "LokrModule",
+    "DyLoraModule",
+    "GLoRAModule",
+    "NormModule",
+    "FullModule",
+    "IA3Module",
+    "DiagOFTModule",
+    "ButterflyOFTModule",
+    "make_module",
     "__version__",
 ]
