@@ -38,9 +38,13 @@ def _torch_model():
     [
         ("lora", {}),
         ("lora", {"use_tucker": True}),
+        ("lora", {"dora_wd": True}),
         ("loha", {}),
+        ("loha", {"use_tucker": True}),
+        ("loha", {"dora_wd": True}),
         ("lokr", {"factor": 4}),
         ("lokr", {"factor": -1, "decompose_both": True}),
+        ("lokr", {"factor": 4, "dora_wd": True}),
         ("diag-oft", {}),
         ("boft", {}),
         ("glora", {}),
