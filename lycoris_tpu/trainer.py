@@ -58,11 +58,16 @@ class DiffusionTrainer:
         merge_mode: str = "interceptor",  # "interceptor" | "premerge" (merge
         # the whole param tree up front inside the step, then run the plain
         # model — lets XLA schedule all adapter rebuilds concurrently)
-        auto_layout: bool = True,  # compile with Layout.AUTO for the frozen
-        # base params and device_put them into the executable's preferred
-        # layouts — XLA's preferred conv-weight layout differs from the
-        # default row-major one, and without this every step pays an HBM
-        # relayout copy per conv weight (~tens of ms/step at SD scale)
+        auto_layout: bool = False,  # EXPERIMENTAL: compile with Layout.AUTO
+        # for the frozen base params and device_put them into the
+        # executable's preferred layouts, avoiding a per-step HBM relayout
+        # copy per conv weight (+~1% steps/s at SD scale). Off by default:
+        # when the AOT executable is deserialized from the persistent
+        # compile cache, its reported input layouts and what device_put
+        # actually produces can disagree on canonicalization (major_to_minor
+        # of size-1 dims and tiling), and jax's exact call-time layout check
+        # then rejects the arguments. train_step detects that and falls back
+        # to the plain jit path automatically.
     ):
         self.merged_forward = merged_forward
         self.merge_mode = merge_mode
@@ -213,9 +218,30 @@ class DiffusionTrainer:
             jnp.shape, batch
         ):
             fn = self._compiled
-        self.adapter_params, self.opt_state, loss = fn(
-            self.adapter_params, self.adapter_buffers, self.opt_state, self.base_params, batch, rng
-        )
+        try:
+            self.adapter_params, self.opt_state, loss = fn(
+                self.adapter_params, self.adapter_buffers, self.opt_state,
+                self.base_params, batch, rng,
+            )
+        except ValueError as e:
+            if fn is not self._compiled or "layout" not in str(e).lower():
+                raise
+            # cache-deserialized AOT executable rejected our relayouted
+            # params (layout canonicalization mismatch, see auto_layout doc).
+            # Drop back to the plain jit path permanently; it accepts the
+            # params in whatever layout they currently have.
+            from .logging import logger
+
+            logger.warning(
+                "auto_layout executable rejected the relayouted base params; "
+                "falling back to the plain jit step"
+            )
+            self._compiled = None
+            self.auto_layout = False
+            self.adapter_params, self.opt_state, loss = self._step_fn(
+                self.adapter_params, self.adapter_buffers, self.opt_state,
+                self.base_params, batch, rng,
+            )
         self.step += 1
         return loss
 
