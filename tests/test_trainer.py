@@ -84,6 +84,31 @@ def test_auto_layout_matches_plain_jit():
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
 
 
+def test_auto_layout_fallback_on_layout_rejection():
+    """If the AOT executable rejects the relayouted base params (persistent
+    compile cache canonicalization mismatch — see trainer.auto_layout doc),
+    train_step must fall back to the plain jit path and keep training."""
+    model, variables, net, batch = _tiny_setup("lokr")
+    tr = DiffusionTrainer(model, variables, net, lr=1e-3,
+                          weight_dtype=jnp.float32, auto_layout=True)
+    rng = jax.random.key(2)
+    shapes = jax.tree_util.tree_map(jnp.shape, batch)
+
+    def rejecting_executable(*a, **k):
+        raise ValueError(
+            "Computation was compiled for input layouts that disagree with "
+            "the layouts of arguments passed to it."
+        )
+
+    tr._compiled = rejecting_executable
+    tr._compiled_shapes = shapes
+    loss = tr.train_step(batch, rng)
+    assert np.isfinite(float(loss))
+    assert tr._compiled is None and not tr.auto_layout  # fell back for good
+    loss2 = tr.train_step(batch, jax.random.fold_in(rng, 1))
+    assert np.isfinite(float(loss2))
+
+
 def test_trained_adapters_merge():
     model, variables, net, batch = _tiny_setup("lokr")
     tr = DiffusionTrainer(model, variables, net, lr=1e-2, weight_dtype=jnp.float32)
