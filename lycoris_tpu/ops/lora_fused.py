@@ -30,11 +30,18 @@ from jax.experimental.pallas import tpu as pltpu
 _PREC = lax.Precision.HIGHEST
 
 
-def _tile(dim, target):
-    t = min(dim, target)
-    while dim % t:
-        t -= 1
-    return t
+def _tile(dim, target, align):
+    """Largest tile ≤ target that divides ``dim`` AND is a multiple of
+    ``align`` (8 sublanes / 128 lanes — cf. ops/hada.py's ×16/×128 rule).
+    Falls back to the full dim (≤ 512, Mosaic pads internally) when no
+    aligned divisor exists (e.g. SD's 320-wide projections); returns None
+    for shapes the kernel shouldn't touch."""
+    t = min(dim, target) // align * align
+    while t >= align:
+        if dim % t == 0:
+            return t
+        t -= align
+    return dim if dim <= 512 else None
 
 
 def _fused_kernel_nt(x_ref, w_ref, down_ref, up_ref, scale_ref, o_ref):
@@ -64,8 +71,9 @@ def _call_fused(kernel, a, w, down, up, scale, out_cols_from_w_rows: bool):
     N, K = w.shape
     R = down.shape[0]
     out_dim = N if out_cols_from_w_rows else K
-    tm = _tile(M, 256)
-    tn = _tile(N, 256) if out_cols_from_w_rows else _tile(K, 256)
+    tm = _tile(M, 256, 8)
+    tn = _tile(out_dim, 256, 128)
+    assert tm is not None and tn is not None, (M, N, K)
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
     if out_cols_from_w_rows:
         # y = a @ w_effᵀ : tile w rows
@@ -132,4 +140,11 @@ def supported(x_shape, w_shape) -> bool:
     for d in x_shape[:-1]:
         M *= d
     N, K = w_shape
-    return M >= 8 and N >= 128 and K >= 128
+    return (
+        M >= 8
+        and N >= 128
+        and K >= 128
+        and _tile(M, 256, 8) is not None
+        and _tile(N, 256, 128) is not None
+        and _tile(K, 256, 128) is not None
+    )

@@ -58,6 +58,11 @@ class DiffusionTrainer:
         merge_mode: str = "interceptor",  # "interceptor" | "premerge" (merge
         # the whole param tree up front inside the step, then run the plain
         # model — lets XLA schedule all adapter rebuilds concurrently)
+        scale_weight_norms: float | None = None,  # kohya --scale_weight_norms:
+        # per-step max-norm regularization of every adapter's effective weight
+        # (reference kohya.py:637-650). Runs INSIDE the jitted step: the
+        # post-optimizer adapter tree is rescaled and (count, mean, max) stats
+        # land in ``self.max_norm_stats`` as device scalars.
         auto_layout: bool = False,  # EXPERIMENTAL: compile with Layout.AUTO
         # for the frozen base params and device_put them into the
         # executable's preferred layouts, avoiding a per-step HBM relayout
@@ -71,6 +76,8 @@ class DiffusionTrainer:
     ):
         self.merged_forward = merged_forward
         self.merge_mode = merge_mode
+        self.scale_weight_norms = scale_weight_norms
+        self.max_norm_stats = None  # (keys_scaled, mean_norm, max_norm) device scalars
         self.auto_layout = auto_layout
         self._compiled = None
         self._compiled_shapes = None
@@ -160,18 +167,41 @@ class DiffusionTrainer:
                 )
             return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)
 
+        max_norm = self.scale_weight_norms
+
         def step_fn(adapter_params, buffers, opt_state, base_params, batch, rng):
             loss, grads = jax.value_and_grad(loss_fn)(adapter_params, buffers, base_params, batch, rng)
             updates, opt_state = optimizer.update(grads, opt_state, adapter_params)
             adapter_params = optax.apply_updates(adapter_params, updates)
-            return adapter_params, opt_state, loss
+            if not max_norm:
+                return adapter_params, opt_state, loss
+            # kohya-contract max-norm regularization, fused into the same XLA
+            # program (reference kohya.py:637-650 runs it per step after the
+            # optimizer). Scaled leaves may live in either tree: 'scalar' is a
+            # buffer when use_scalar=False, a trainable leaf otherwise.
+            full = {ln: {**buffers.get(ln, {}), **sub} for ln, sub in adapter_params.items()}
+            upd, flags, norms = net.apply_max_norm_traced(full, max_norm)
+            adapter_params = {
+                ln: {k: upd.get(ln, {}).get(k, v) for k, v in sub.items()}
+                for ln, sub in adapter_params.items()
+            }
+            buffers = {
+                ln: {k: upd.get(ln, {}).get(k, v) for k, v in sub.items()}
+                for ln, sub in buffers.items()
+            }
+            stats = (
+                jnp.sum(flags),
+                jnp.mean(norms) if norms.size else jnp.float32(0),
+                jnp.max(norms) if norms.size else jnp.float32(0),
+            )
+            return adapter_params, opt_state, loss, buffers, stats
 
         rep = NamedSharding(mesh, P())
         self._raw_step_fn = step_fn
-        self._out_shardings = (rep, rep, rep)
+        self._out_shardings = tuple([rep] * (5 if max_norm else 3))
         return jax.jit(
             step_fn,
-            out_shardings=(rep, rep, rep),
+            out_shardings=self._out_shardings,
             donate_argnums=(0, 2),  # adapter params + opt state (NOT buffers)
         )
 
@@ -219,7 +249,7 @@ class DiffusionTrainer:
         ):
             fn = self._compiled
         try:
-            self.adapter_params, self.opt_state, loss = fn(
+            out = fn(
                 self.adapter_params, self.adapter_buffers, self.opt_state,
                 self.base_params, batch, rng,
             )
@@ -238,10 +268,15 @@ class DiffusionTrainer:
             )
             self._compiled = None
             self.auto_layout = False
-            self.adapter_params, self.opt_state, loss = self._step_fn(
+            out = self._step_fn(
                 self.adapter_params, self.adapter_buffers, self.opt_state,
                 self.base_params, batch, rng,
             )
+        if self.scale_weight_norms:
+            (self.adapter_params, self.opt_state, loss,
+             self.adapter_buffers, self.max_norm_stats) = out
+        else:
+            self.adapter_params, self.opt_state, loss = out
         self.step += 1
         return loss
 
@@ -250,6 +285,13 @@ class DiffusionTrainer:
         host = jax.device_get(self.adapter_params)
         for ln, sub in host.items():
             self.net.lora_map[ln].params.update({k: jnp.asarray(v) for k, v in sub.items()})
+        if self.scale_weight_norms:
+            # max-norm may rescale buffer leaves too (e.g. non-trainable 'scalar')
+            host = jax.device_get(self.adapter_buffers)
+            for ln, sub in host.items():
+                self.net.lora_map[ln].params.update(
+                    {k: jnp.asarray(v) for k, v in sub.items()}
+                )
 
     # -- checkpoint / resume (orbax for internal train state; adapter files
     # themselves stay flat safetensors via net.save_weights — SURVEY §5) ------

@@ -760,6 +760,31 @@ class LycorisNetwork:
         del self._cached_org_params
         return self.graph.params
 
+    def apply_max_norm_traced(self, full_tree, max_norm_value):
+        """jit-safe max-norm pass over the whole adapter tree.
+
+        Returns ``(updates, scaled_flags, norms)`` where ``updates`` maps each
+        supporting module's lora_name to its post-scale param dict, and
+        ``scaled_flags`` / ``norms`` are stacked traced vectors (one slot per
+        supporting module, reference kohya.py:637-650 collects the same pair
+        per module). Modules whose ``apply_max_norm`` is the base no-op
+        (Full/Norm/IA3/GLoRA) are skipped statically."""
+        updates, flags, norms = {}, [], []
+        for lyco in self.loras:
+            p = full_tree.get(lyco.lora_name)
+            if p is None:
+                continue
+            new_p, scaled, norm = lyco.apply_max_norm(max_norm_value, p)
+            if scaled is None:
+                continue
+            updates[lyco.lora_name] = new_p
+            flags.append(jnp.asarray(scaled, jnp.float32))
+            norms.append(jnp.asarray(norm, jnp.float32))
+        if not flags:
+            z = jnp.zeros((0,), jnp.float32)
+            return updates, z, z
+        return updates, jnp.stack(flags), jnp.stack(norms)
+
     def apply_max_norm_regularization(self, max_norm_value, adapter_params=None):
         """Returns (updated_params_tree, keys_scaled, mean_norm, max_norm)
         — pure version of wrapper.py:579-592."""

@@ -140,10 +140,16 @@ def main():
     if max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
 
+    # kohya --scale_weight_norms: per-step max-norm regularization
+    # (reference kohya.py:637-650; applied inside the jitted step)
+    scale_weight_norms = float(
+        opt_cfg.get("scale_weight_norms", net_setup.get("scale_weight_norms", 0)) or 0
+    )
+
     unet_sub = net.sub_networks[type(net).LORA_PREFIX_UNET]
     trainer = DiffusionTrainer(
         model, variables, unet_sub, optimizer=tx, mesh=shd.make_mesh(),
-        weight_dtype=dtype,
+        weight_dtype=dtype, scale_weight_norms=scale_weight_norms or None,
     )
 
     # resume (failure recovery): [Network_setup] resume = true reloads the
@@ -165,7 +171,19 @@ def main():
         loss = trainer.train_step(batch_data, jax.random.fold_in(rng, step))
         dt = timer.step(loss)
         if step % 10 == 0:
-            metrics.log(step, loss=float(loss), steps_per_sec=timer.steps_per_sec or 0)
+            extra = {}
+            if trainer.max_norm_stats is not None:
+                count, mean_norm, max_norm_v = trainer.max_norm_stats
+                # reference reports (0, 0, 0) when nothing was scaled
+                count = float(count)
+                extra = dict(
+                    keys_scaled=count,
+                    max_norm_mean=float(mean_norm) if count else 0.0,
+                    max_norm_max=float(max_norm_v) if count else 0.0,
+                )
+            metrics.log(
+                step, loss=float(loss), steps_per_sec=timer.steps_per_sec or 0, **extra
+            )
 
         every = int(save_cfg.get("save_every_n_steps", 0) or 0)
         if every and step and step % every == 0:
