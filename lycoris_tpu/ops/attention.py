@@ -59,11 +59,25 @@ def _block_sizes(t: int):
 
 
 def dot_product_attention(q, k, v):
-    """(B, T, H, D) attention with automatic 1/sqrt(D) scaling."""
-    if _use_flash(q, k):
+    """(B, T, H, D) attention with automatic 1/sqrt(D) scaling.
+
+    LYCORIS_TPU_FLASH: auto (default, custom kernel where supported) |
+    custom | stock (jax's pallas flash) | off (XLA).
+    """
+    mode = os.environ.get("LYCORIS_TPU_FLASH", "auto")
+    sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    if mode in ("auto", "custom") and _use_flash(q, k):
+        from . import flash
+
+        qt = q.transpose(0, 2, 1, 3)
+        if flash.supported(qt.shape, qt.shape):
+            o = flash.flash_attention(
+                qt, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), sm_scale
+            )
+            return o.transpose(0, 2, 1, 3)
+    if mode in ("auto", "custom", "stock") and _use_flash(q, k):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
-        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
         o = fa.flash_attention(
             q.transpose(0, 2, 1, 3),
             k.transpose(0, 2, 1, 3),
