@@ -268,19 +268,39 @@ def layer_norm(x: jax.Array, normalized_shape, weight=None, bias=None, eps: floa
 
 
 def group_norm(x: jax.Array, num_groups: int, weight=None, bias=None, eps: float = 1e-5) -> jax.Array:
-    """torch F.group_norm semantics (channels-first input (N, C, *spatial))."""
+    """torch F.group_norm semantics (channels-first input (N, C, *spatial)).
+
+    Reshape-free formulation: the naive (N, G, C/G, *spatial) view forces XLA
+    to materialize relayout copies of the full activation in the channels-
+    minor NCHW layouts convs prefer (profiled at ~65 ms/step on the SD1.5
+    UNet — more than attention). Instead: per-CHANNEL sums over spatial
+    (layout-native reduction, one fused pass), a tiny (N, C)→(N, G) combine,
+    and one output FMA with γ/β folded in. Same math, fp32 statistics."""
     n, c, *spatial = x.shape
-    g = x.reshape(n, num_groups, c // num_groups, *spatial)
-    axes = tuple(range(2, g.ndim))
-    mean = jnp.mean(g, axis=axes, keepdims=True)
-    var = jnp.var(g, axis=axes, keepdims=True)
-    y = ((g - mean) * lax.rsqrt(var + eps)).reshape(x.shape)
-    exp = (1, c, *[1] * len(spatial))
+    cg = c // num_groups
+    sp_axes = tuple(range(2, x.ndim))
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=sp_axes)        # [n, c] — one fused pass over x
+    s2 = jnp.sum(xf * xf, axis=sp_axes)   # fuses with s1
+    cnt = cg * math.prod(spatial) if spatial else cg
+    gs1 = jnp.sum(s1.reshape(n, num_groups, cg), axis=2)
+    gs2 = jnp.sum(s2.reshape(n, num_groups, cg), axis=2)
+    mean_g = gs1 / cnt
+    var_g = gs2 / cnt - mean_g * mean_g
+    rstd_g = lax.rsqrt(var_g + eps)
+    # per-channel affine: y = x*scale_c + shift_c (γ/β folded, single FMA)
+    rep = lambda a: jnp.repeat(a, cg, axis=1)
+    scale_c = rep(rstd_g)
+    shift_c = rep(-mean_g * rstd_g)
     if weight is not None:
-        y = y * weight.reshape(exp)
+        w = weight.astype(jnp.float32).reshape(1, c)
+        scale_c = scale_c * w
+        shift_c = shift_c * w
     if bias is not None:
-        y = y + bias.reshape(exp)
-    return y
+        shift_c = shift_c + bias.astype(jnp.float32).reshape(1, c)
+    exp = (n, c, *[1] * len(spatial))
+    y = xf * scale_c.reshape(exp) + shift_c.reshape(exp)
+    return y.astype(x.dtype)
 
 # FUNC_LIST equivalent: index by weight ndim (reference general.py:6)
 FUNC_LIST = [None, None, linear, convnd, convnd, convnd]
