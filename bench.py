@@ -1,19 +1,27 @@
 """Benchmark: adapter fine-tune steps/sec on one TPU chip.
 
-Reference baseline (BASELINE.md / docs/Guidelines.md:54-84): SD1.x, batch 8,
-RTX 4090 — LoRA attn-mlp dim8 trains 49622 steps in ~4h ⇒ ~3.45 it/s.
-This bench runs the equivalent workload TPU-natively: an SD1.5-config UNet
-(bf16, channels-first), 64x64 latents (512px), batch 8, LoKr factor=8
-adapters on the attn-mlp preset, jitted DDPM eps-MSE train step.
+BASELINE.json names the metric "SDXL LoKr/LoHa train steps/sec/chip", so the
+ONE stdout JSON line this prints is the SDXL LoKr number; the SD1.5 result
+(the only config the reference actually publishes numbers for,
+docs/Guidelines.md:54-84) is printed to stderr alongside.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
-``vs_baseline`` is our steps/sec over the reference's 3.45 it/s (same batch,
-same model scale, per accelerator). Env knobs: BENCH_ALGO (lokr|loha|lora),
-BENCH_BATCH, BENCH_ITERS, BENCH_SDXL=1 for the SDXL config at 1024px scale.
+``vs_baseline`` derivation (the reference publishes NO SDXL throughput):
+the 4090 SD1.5 row (LoKr attn-mlp full[8], batch 8 → 3.76 it/s, BASELINE.md)
+is scaled by the measured per-example train-step FLOPs ratio between our
+SDXL@1024 and SD1.5@512 configs (XLA cost_analysis of the two compiled
+steps) — i.e. we assume the 4090 sustains the same FLOP/s on SDXL as on
+SD1.5 and compare examples/sec/chip. The JSON carries the inputs
+(sd15 steps/s + its own vs_baseline against the published row) so the
+derived number can be audited.
+
+Env knobs: BENCH_ALGO (lokr|loha|lora), BENCH_BATCH (sd15, default 8),
+BENCH_SDXL_BATCH (default 2 — 16 GB v5e ceiling at 1024px), BENCH_ITERS,
+BENCH_SDXL=0|1 to run only one config, BENCH_MERGED, BENCH_MERGE_MODE,
+BENCH_REMAT, LYCORIS_TPU_FLASH.
 """
 
 import faulthandler
+import gc
 import json
 import os
 import signal
@@ -33,13 +41,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 # attn-mlp rows — LoRA dim8 4h, LoHa dim16 4h10m, LoKr full factor8 3h40m
 REFERENCE_IT_PER_S = {"lora": 3.45, "loha": 3.31, "lokr": 3.76}
 
+# fallback FLOPs-per-example ratio (SDXL@1024/b2 vs SD1.5@512/b8 train step,
+# measured once via cost_analysis on v5e — see derive note above) used only
+# if cost_analysis is unavailable on this backend
+FALLBACK_FLOPS_RATIO = 7.0
 
-def main():
-    algo = os.environ.get("BENCH_ALGO", "lokr")
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-    use_sdxl = os.environ.get("BENCH_SDXL", "0") == "1"
 
+def run_case(use_sdxl: bool, algo: str, batch: int, iters: int):
     from lycoris_tpu import LycorisNetwork, ModelGraph, create_lycoris
     from lycoris_tpu.models.unet import UNet2DConditionModel, sd15_config, sdxl_config
     from lycoris_tpu.parallel import sharding as shd
@@ -48,9 +56,7 @@ def main():
     LycorisNetwork.reset_preset()
     merged = os.environ.get("BENCH_MERGED", "1") == "1"
     # defaults: SD1.5 fits batch 8 without remat once flash attention frees
-    # the T^2 activations (measured 4.09 vs 3.39 steps/s); SDXL needs remat but
-    # only on the transformer blocks (b2: 2.03 vs 1.94 full-remat steps/s;
-    # remat=0 OOMs at 18.5G/15.75G)
+    # the T^2 activations; SDXL needs remat on the transformer blocks only
     remat_env = os.environ.get("BENCH_REMAT", "transformer" if use_sdxl else "0")
     remat = {"0": False, "1": True, "transformer": "transformer"}.get(remat_env, remat_env)
     if use_sdxl:
@@ -66,8 +72,8 @@ def main():
     t = jnp.zeros((batch,), jnp.int32)
     ctx = jnp.zeros((batch, 77, cfg.context_dim), jnp.bfloat16)
 
-    print(f"[bench] init {'sdxl' if use_sdxl else 'sd15'} unet...", file=sys.stderr)
-    variables = jax.eval_shape(lambda r: model.init(r, latents, t, ctx), rng)
+    print(f"[bench] init {'sdxl' if use_sdxl else 'sd15'} unet b{batch}...", file=sys.stderr)
+    variables = jax.eval_shape(model.init, rng, latents, t, ctx)
     # materialize params without a full random init pass (zeros are fine for
     # a throughput bench), directly in the train dtype: creating fp32 zeros
     # first would transiently hold 2x the params in HBM (OOMs SDXL on 16GB)
@@ -85,28 +91,106 @@ def main():
         algo=algo, factor=8, rng=rng,
     )
     LycorisNetwork.reset_preset()
-    n_mod = len(net.loras)
-    print(f"[bench] {n_mod} adapter modules ({algo})", file=sys.stderr)
+    print(f"[bench] {len(net.loras)} adapter modules ({algo})", file=sys.stderr)
 
     mesh = shd.make_mesh()
-    merge_mode = os.environ.get("BENCH_MERGE_MODE", "interceptor")
     tr = DiffusionTrainer(model, variables, net, lr=1e-4, mesh=mesh,
                           weight_dtype=jnp.bfloat16, merged_forward=merged,
-                          merge_mode=merge_mode)
+                          merge_mode=os.environ.get("BENCH_MERGE_MODE", "interceptor"))
     batch_data = {"latents": latents, "context": ctx}
 
     print("[bench] compiling + warmup...", file=sys.stderr)
     steps_per_sec, loss = tr.benchmark(batch_data, rng, warmup=3, iters=iters)
-    n_chips = max(1, len(jax.devices()))
-    per_chip = steps_per_sec / 1.0  # mesh is single-chip on the bench runner
 
-    result = {
-        "metric": f"{'sdxl' if use_sdxl else 'sd15'}-{algo}-attnmlp-dim8-b{batch} train steps/sec/chip",
-        "value": round(per_chip, 4),
+    # FLOPs probe for the baseline derivation: count the step WITHOUT remat
+    # (remat recompute would inflate the SDXL step's FLOPs and overstate our
+    # derived advantage) via an abstract lowering — never executed, so the
+    # no-remat SDXL graph can't OOM. lowered (pre-optimization) counts keep
+    # both legs on the same basis.
+    flops = None
+    try:
+        if use_sdxl:
+            cfg2 = sdxl_config(dtype=jnp.bfloat16, remat=False)
+        else:
+            cfg2 = sd15_config(dtype=jnp.bfloat16, remat=False)
+        model2 = UNet2DConditionModel(cfg2)
+        # same params/adapters; device_put aliases the existing replicated
+        # arrays so this costs no extra HBM
+        tr2 = DiffusionTrainer(model2, variables, net, lr=1e-4, mesh=mesh,
+                               weight_dtype=jnp.bfloat16, merged_forward=merged)
+        # probe at batch 1: this backend enforces HBM limits at COMPILE time
+        # and the no-remat SDXL graph at the bench batch exceeds 16 GB; the
+        # derivation only needs per-example FLOPs
+        probe_batch = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct((1, *x.shape[1:]), x.dtype), batch_data
+        )
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            (tr2.adapter_params, tr2.adapter_buffers, tr2.opt_state,
+             tr2.base_params, probe_batch, rng),
+        )
+        cost = tr2._step_fn.lower(*abstract).compile().cost_analysis()
+        if cost:
+            flops = (float(cost.get("flops", 0.0)) or None)
+            if flops:
+                flops *= batch  # report per-step at the bench batch
+        del tr2, model2
+    except Exception as e:  # cost model optional; derivation falls back
+        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+
+    # free everything before the next case (SDXL needs the whole 16 GB)
+    del tr, net, graph, variables, model
+    gc.collect()
+    return steps_per_sec, flops
+
+
+def main():
+    algo = os.environ.get("BENCH_ALGO", "lokr")
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    sd15_batch = int(os.environ.get("BENCH_BATCH", "8"))
+    sdxl_batch = int(os.environ.get("BENCH_SDXL_BATCH", "2"))
+    mode = os.environ.get("BENCH_SDXL", "both")  # 0 = sd15 only, 1 = sdxl only
+    ref = REFERENCE_IT_PER_S.get(algo, 3.45)
+
+    sd15 = sdxl = None
+    if mode != "1":
+        sps, flops = run_case(False, algo, sd15_batch, iters)
+        sd15 = {
+            "metric": f"sd15-{algo}-attnmlp-dim8-b{sd15_batch} train steps/sec/chip",
+            "value": round(sps, 4),
+            "unit": "steps/sec/chip",
+            "vs_baseline": round(sps / ref, 4),
+            "flops_per_step": flops,
+        }
+        print(json.dumps(sd15), file=sys.stderr)
+        if mode == "0":
+            print(json.dumps({k: v for k, v in sd15.items() if k != "flops_per_step"}))
+            return
+    sps_x, flops_x = run_case(True, algo, sdxl_batch, iters)
+    sdxl = {
+        "metric": f"sdxl-{algo}-attnmlp-dim8-b{sdxl_batch}-1024px train steps/sec/chip",
+        "value": round(sps_x, 4),
         "unit": "steps/sec/chip",
-        "vs_baseline": round(per_chip / REFERENCE_IT_PER_S.get(algo, 3.45), 4),
     }
-    print(json.dumps(result))
+    if sd15 is not None:
+        if sd15["flops_per_step"] and flops_x:
+            ratio = (flops_x / sdxl_batch) / (sd15["flops_per_step"] / sd15_batch)
+            src = "cost_analysis"
+        else:
+            ratio, src = FALLBACK_FLOPS_RATIO, "fallback_constant"
+        derived_examples = ref * sd15_batch / ratio  # 4090 examples/sec at SDXL FLOPs
+        sdxl["vs_baseline"] = round(sps_x * sdxl_batch / derived_examples, 4)
+        sdxl["baseline_derivation"] = (
+            f"4090 {algo} SD1.5 {ref} it/s*b{sd15_batch} scaled by the "
+            f"per-example no-remat step-FLOPs ratio {ratio:.2f} ({src}); "
+            "reference publishes no SDXL throughput"
+        )
+        sdxl["sd15_steps_per_sec"] = sd15["value"]
+        sdxl["sd15_vs_baseline"] = sd15["vs_baseline"]
+    else:
+        sdxl["vs_baseline"] = 0.0
+        sdxl["baseline_derivation"] = "run without sd15 leg; no derived baseline"
+    print(json.dumps(sdxl))
 
 
 if __name__ == "__main__":
