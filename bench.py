@@ -15,7 +15,8 @@ SD1.5 and compare examples/sec/chip. The JSON carries the inputs
 derived number can be audited.
 
 Env knobs: BENCH_ALGO (lokr|loha|lora), BENCH_BATCH (sd15, default 8),
-BENCH_SDXL_BATCH (default 2 — 16 GB v5e ceiling at 1024px), BENCH_ITERS,
+BENCH_SDXL_BATCH (default 4 — best measured examples/s on the 16 GB v5e at
+1024px with transformer-only remat: b4 4.60 ex/s vs b2 4.32), BENCH_ITERS,
 BENCH_SDXL=0|1 to run only one config, BENCH_MERGED, BENCH_MERGE_MODE,
 BENCH_REMAT, LYCORIS_TPU_FLASH.
 """
@@ -148,7 +149,7 @@ def main():
     algo = os.environ.get("BENCH_ALGO", "lokr")
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     sd15_batch = int(os.environ.get("BENCH_BATCH", "8"))
-    sdxl_batch = int(os.environ.get("BENCH_SDXL_BATCH", "2"))
+    sdxl_batch = int(os.environ.get("BENCH_SDXL_BATCH", "4"))
     mode = os.environ.get("BENCH_SDXL", "both")  # 0 = sd15 only, 1 = sdxl only
     ref = REFERENCE_IT_PER_S.get(algo, 3.45)
 

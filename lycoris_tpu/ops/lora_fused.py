@@ -44,50 +44,79 @@ def _tile(dim, target, align):
     return dim if dim <= 512 else None
 
 
-def _fused_kernel_nt(x_ref, w_ref, down_ref, up_ref, scale_ref, o_ref):
-    """o[i,j] = x[i,:] @ (W[j,:] + s*up[j,:]@down)ᵀ  (W stored (N, K))."""
+def _fused_kernel_nt(x_ref, w_ref, down_ref, up_ref, scale_ref, o_ref, acc_scr):
+    """o[i,j] = x[i,:] @ (W[j,:] + s*up[j,:]@down)ᵀ  (W stored (N, K)).
+
+    Grid (i, j, k): k tiles the contraction dim so VMEM stays bounded even
+    for the 10k-wide FF projections (loading full-K tiles OOMs the 16 MB
+    scoped VMEM there); fp32 scratch accumulates across k steps.
+
+    Kernel dots run at DEFAULT precision (one bf16 MXU pass) with fp32
+    accumulation via preferred_element_type — Mosaic rejects bf16 operands
+    with an fp32 contract-precision request ("Bad lhs type"), and one-pass
+    bf16 matches the merged fast path's numerics class anyway."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     w_eff = w_ref[:].astype(jnp.float32) + scale_ref[0, 0] * jnp.dot(
-        up_ref[:], down_ref[:], preferred_element_type=jnp.float32, precision=_PREC
+        up_ref[:], down_ref[:], preferred_element_type=jnp.float32
     )
-    o_ref[:] = jnp.dot(
-        x_ref[:], w_eff.T.astype(x_ref.dtype), preferred_element_type=jnp.float32,
-        precision=_PREC,
-    ).astype(o_ref.dtype)
+    acc_scr[:] += jnp.dot(
+        x_ref[:], w_eff.T.astype(x_ref.dtype), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_scr[:].astype(o_ref.dtype)
 
 
-def _fused_kernel_nn(g_ref, w_ref, down_ref, up_ref, scale_ref, o_ref):
-    """o[i,k] = g[i,:] @ (W[:,k] + s*(up@down)[:,k])  — for dx in backward."""
+def _fused_kernel_nn(g_ref, w_ref, down_ref, up_ref, scale_ref, o_ref, acc_scr):
+    """o[i,k] = g[i,:] @ (W[:,k] + s*(up@down)[:,k])  — for dx in backward.
+    Grid (i, j, k): k tiles the contraction dim (N = W rows)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     w_eff = w_ref[:].astype(jnp.float32) + scale_ref[0, 0] * jnp.dot(
-        up_ref[:], down_ref[:], preferred_element_type=jnp.float32, precision=_PREC
+        up_ref[:], down_ref[:], preferred_element_type=jnp.float32
     )
-    o_ref[:] = jnp.dot(
-        g_ref[:], w_eff.astype(g_ref.dtype), preferred_element_type=jnp.float32,
-        precision=_PREC,
-    ).astype(o_ref.dtype)
+    acc_scr[:] += jnp.dot(
+        g_ref[:], w_eff.astype(g_ref.dtype), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_scr[:].astype(o_ref.dtype)
 
 
 def _call_fused(kernel, a, w, down, up, scale, out_cols_from_w_rows: bool):
     M = a.shape[0]
     N, K = w.shape
     R = down.shape[0]
-    out_dim = N if out_cols_from_w_rows else K
+    out_dim, contract_dim = (N, K) if out_cols_from_w_rows else (K, N)
     tm = _tile(M, 256, 8)
     tn = _tile(out_dim, 256, 128)
-    assert tm is not None and tn is not None, (M, N, K)
+    tc = _tile(contract_dim, 2048, 128)
+    assert tm is not None and tn is not None and tc is not None, (M, N, K)
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
     if out_cols_from_w_rows:
-        # y = a @ w_effᵀ : tile w rows
-        w_spec = pl.BlockSpec((tn, K), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
-        up_spec = pl.BlockSpec((tn, R), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
-        down_spec = pl.BlockSpec((R, K), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-        a_spec = pl.BlockSpec((tm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        # y = a @ w_effᵀ : j tiles w rows, k tiles w cols (= contraction)
+        w_spec = pl.BlockSpec((tn, tc), lambda i, j, k: (j, k), memory_space=pltpu.VMEM)
+        up_spec = pl.BlockSpec((tn, R), lambda i, j, k: (j, 0), memory_space=pltpu.VMEM)
+        down_spec = pl.BlockSpec((R, tc), lambda i, j, k: (0, k), memory_space=pltpu.VMEM)
+        a_spec = pl.BlockSpec((tm, tc), lambda i, j, k: (i, k), memory_space=pltpu.VMEM)
     else:
-        # y = a @ w_eff : tile w cols
-        w_spec = pl.BlockSpec((N, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
-        up_spec = pl.BlockSpec((N, R), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-        down_spec = pl.BlockSpec((R, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
-        a_spec = pl.BlockSpec((tm, N), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    grid = (M // tm, out_dim // tn)
+        # y = a @ w_eff : j tiles w cols, k tiles w rows (= contraction)
+        w_spec = pl.BlockSpec((tc, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM)
+        up_spec = pl.BlockSpec((tc, R), lambda i, j, k: (k, 0), memory_space=pltpu.VMEM)
+        down_spec = pl.BlockSpec((R, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM)
+        a_spec = pl.BlockSpec((tm, tc), lambda i, j, k: (i, k), memory_space=pltpu.VMEM)
+    grid = (M // tm, out_dim // tn, contract_dim // tc)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -96,10 +125,11 @@ def _call_fused(kernel, a, w, down, up, scale, out_cols_from_w_rows: bool):
             w_spec,
             down_spec,
             up_spec,
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, out_dim), a.dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
     )(a, w, down, up, scale_arr)
 
 

@@ -56,7 +56,17 @@ def test_hada_pallas_fwd_bwd(interpret_pallas, shape):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("shape", [(64, 256, 384, 8), (32, 128, 512, 4)])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (64, 256, 384, 8),
+        (32, 128, 512, 4),
+        # contraction-tiled paths (tc target 2048): K=4096 → 2 k-steps in the
+        # fwd kernel; N=2560 → 2 k-steps (tc=1280) in the dx (nn) kernel
+        (16, 128, 4096, 8),
+        (16, 2560, 256, 8),
+    ],
+)
 def test_fused_lora_matmul(interpret_pallas, shape):
     from lycoris_tpu.ops import lora_fused
 
