@@ -42,7 +42,13 @@ class LayerAdapter:
 
     ``get_weights(variables)``: native params subtree -> (w_torch, bias).
     ``put_weights(variables, w, b)``: inverse (for merge_to).
-    ``to_cf``/``from_cf``: activation layout conversion (None = identity).
+    ``to_cf``/``from_cf``: INPUT activation layout conversion (None =
+    identity); ``out_to_cf``/``out_from_cf``: OUTPUT conversion, defaulting
+    to the input pair — they differ only for layers whose input and output
+    layouts diverge (head-split attention projections: 3D in, 4D out).
+    ``native_op(x_torch, w_torch, bias)``: optional fast path producing the
+    NATIVE-layout output directly (used by the merged forward so e.g. the
+    head split stays fused into the projection matmul).
     """
 
     layer_info: LayerInfo
@@ -50,12 +56,27 @@ class LayerAdapter:
     put_weights: Callable | None = None
     to_cf: Callable | None = None
     from_cf: Callable | None = None
+    out_to_cf: Callable | None = None
+    out_from_cf: Callable | None = None
+    native_op: Callable | None = None
 
     def cf_in(self, x):
+        """Native layer input -> torch-layout input."""
         return x if self.to_cf is None else self.to_cf(x)
 
+    def cf_in_inv(self, z):
+        """Torch-layout input -> native layer input."""
+        return z if self.from_cf is None else self.from_cf(z)
+
     def cf_out(self, y):
-        return y if self.from_cf is None else self.from_cf(y)
+        """Torch-layout output -> native layer output."""
+        f = self.out_from_cf if self.out_from_cf is not None else self.from_cf
+        return y if f is None else f(y)
+
+    def cf_out_inv(self, y):
+        """Native layer output -> torch-layout output."""
+        f = self.out_to_cf if self.out_to_cf is not None else self.to_cf
+        return y if f is None else f(y)
 
 
 def _t(x):
@@ -193,7 +214,22 @@ def adapter_for_linen(mod, params) -> LayerAdapter | None:
         li = li_fn(params) if callable(li_fn) else li_fn
         if isinstance(params, dict) and "weight_q" in params:
             return _quant_adapter(li)
-        return _torch_layout_adapter(li)
+        ad = _torch_layout_adapter(li)
+        hs = getattr(mod, "head_split", None)
+        if hs is not None and li.module_type == "linear":
+            from .functional.general import linear_head_split
+
+            heads, head_dim = hs
+            # input is already torch layout (…, T, C); only the OUTPUT
+            # diverges: native (…, H, T, D) <-> torch (…, T, H*D)
+            ad.out_from_cf = lambda y: jnp.moveaxis(
+                y.reshape(*y.shape[:-1], heads, head_dim), -2, -3
+            )
+            ad.out_to_cf = lambda y: jnp.moveaxis(y, -3, -2).reshape(
+                *y.shape[:-3], y.shape[-2], heads * head_dim
+            )
+            ad.native_op = lambda x, w, b: linear_head_split(x, w, b, heads, head_dim)
+        return ad
     if params is None or not isinstance(params, dict):
         return None
     try:

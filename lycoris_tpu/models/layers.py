@@ -39,12 +39,19 @@ def _kaiming_init(shape, dtype):
 
 
 class Linear(nn.Module):
-    """y = x @ W.T + b, W stored (out, in) — torch nn.Linear parity."""
+    """y = x @ W.T + b, W stored (out, in) — torch nn.Linear parity.
+
+    ``head_split=(heads, head_dim)`` (attention q/k/v projections): the
+    output is produced directly in the head-major ``(..., H, T, D)`` layout
+    via one einsum — the weight layout, checkpoint keys, and adapter math
+    are unchanged (adapters see a plain (out, in) linear; the graph adapter
+    converts activations at the layer boundary)."""
 
     features: int
     use_bias: bool = True
     dtype: Any = None
     param_dtype: Any = jnp.float32
+    head_split: tuple | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -58,8 +65,12 @@ class Linear(nn.Module):
                 lambda k: jax.random.uniform(k, (self.features,), self.param_dtype, -bound, bound),
             )
         dtype = self.dtype or x.dtype
-        y = general.linear(x.astype(dtype), w.astype(dtype), None if b is None else b.astype(dtype))
-        return y
+        xd = x.astype(dtype)
+        wd = w.astype(dtype)
+        bd = None if b is None else b.astype(dtype)
+        if self.head_split is not None:
+            return general.linear_head_split(xd, wd, bd, *self.head_split)
+        return general.linear(xd, wd, bd)
 
     def lycoris_layer_info(self, params):
         w = params["weight"]

@@ -115,17 +115,16 @@ class CrossAttention(nn.Module):
         context = x if context is None else context
         inner = self.query_dim
         head_dim = inner // self.num_heads
-        q = L.Linear(inner, use_bias=False, name="to_q")(x)
-        k = L.Linear(inner, use_bias=False, name="to_k")(context)
-        v = L.Linear(inner, use_bias=False, name="to_v")(context)
-        b, tq, _ = q.shape
-        tk = k.shape[1]
-        q = q.reshape(b, tq, self.num_heads, head_dim)
-        k = k.reshape(b, tk, self.num_heads, head_dim)
-        v = v.reshape(b, tk, self.num_heads, head_dim)
+        hs = (self.num_heads, head_dim)
+        # head_split: projections emit (B, H, T, D) directly — the transpose
+        # is fused into the matmul instead of materializing a relayout copy
+        q = L.Linear(inner, use_bias=False, name="to_q", head_split=hs)(x)
+        k = L.Linear(inner, use_bias=False, name="to_k", head_split=hs)(context)
+        v = L.Linear(inner, use_bias=False, name="to_v", head_split=hs)(context)
+        b, tq = x.shape[0], x.shape[1]
         from ..ops.attention import dot_product_attention as dpa
 
-        o = dpa(q, k, v)
+        o = dpa(q, k, v, layout="BHTD")  # (B, T, H, D)
         o = o.reshape(b, tq, inner)
         return L.Linear(inner, name="to_out_0")(o)
 

@@ -27,12 +27,10 @@ def _on_tpu() -> bool:
         return False
 
 
-def _use_flash(q, k) -> bool:
+def _use_flash(tq, tk, d) -> bool:
     mode = os.environ.get("LYCORIS_TPU_FLASH", "auto")
     if mode == "off" or os.environ.get("LYCORIS_TPU_NO_PALLAS", "0") == "1" or not _on_tpu():
         return False
-    tq, tk = q.shape[1], k.shape[1]
-    d = q.shape[-1]
     # the kernel pads head_dim up to 128 but requires multiples of 128 beyond
     d_ok = d <= 128 or d % 128 == 0
     return tq == tk and tq >= 1024 and tq % 1024 == 0 and d_ok
@@ -58,32 +56,49 @@ def _block_sizes(t: int):
     )
 
 
-def dot_product_attention(q, k, v):
-    """(B, T, H, D) attention with automatic 1/sqrt(D) scaling.
+def dot_product_attention(q, k, v, layout="BTHD"):
+    """Attention with automatic 1/sqrt(D) scaling; returns (B, T, H, D).
+
+    ``layout="BTHD"`` (default): q/k/v are (B, T, H, D) like
+    jax.nn.dot_product_attention. ``layout="BHTD"``: q/k/v arrive pre-split
+    head-major (B, H, T, D) — the layout head-split projections produce and
+    the flash kernel consumes, so the self-attention path runs with ONE
+    transpose (kernel output) instead of four.
 
     LYCORIS_TPU_FLASH: auto (default, custom kernel where supported) |
     custom | stock (jax's pallas flash) | off (XLA).
     """
     mode = os.environ.get("LYCORIS_TPU_FLASH", "auto")
-    sm_scale = 1.0 / (q.shape[-1] ** 0.5)
-    if mode in ("auto", "custom") and _use_flash(q, k):
+    bhtd = layout == "BHTD"
+    t_axis = 2 if bhtd else 1
+    tq, tk, d = q.shape[t_axis], k.shape[t_axis], q.shape[-1]
+    sm_scale = 1.0 / (d**0.5)
+
+    def to_bhtd(x):
+        return x if bhtd else x.transpose(0, 2, 1, 3)
+
+    if mode in ("auto", "custom") and _use_flash(tq, tk, d):
         from . import flash
 
-        qt = q.transpose(0, 2, 1, 3)
+        qt = to_bhtd(q)
         if flash.supported(qt.shape, qt.shape):
+            # measured blocks (v5e): SD1.5 D40 → bq256/bk512 (T4096 sweep,
+            # bq1024 OOMs VMEM); SDXL D64 → bq512/bk512 wins ~5% at both
+            # T4096 H10 and T1024 H20 (bq1024 fails to compile at D64)
+            bq = 256 if d <= 48 else 512
             o = flash.flash_attention(
-                qt, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), sm_scale
+                qt, to_bhtd(k), to_bhtd(v), sm_scale, block_q=bq, block_k=512
             )
             return o.transpose(0, 2, 1, 3)
-    if mode in ("auto", "custom", "stock") and _use_flash(q, k):
+    if mode in ("auto", "custom", "stock") and _use_flash(tq, tk, d):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
         o = fa.flash_attention(
-            q.transpose(0, 2, 1, 3),
-            k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3),
+            to_bhtd(q), to_bhtd(k), to_bhtd(v),
             sm_scale=sm_scale,
-            block_sizes=_block_sizes(q.shape[1]),
+            block_sizes=_block_sizes(tq),
         )
         return o.transpose(0, 2, 1, 3)
+    if bhtd:
+        q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
     return jax.nn.dot_product_attention(q, k, v)

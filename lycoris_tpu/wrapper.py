@@ -650,7 +650,12 @@ class LycorisNetwork:
                     if out is not None:
                         return adapter.cf_out(out)
                 w_m, b_m = lyco.get_merged_weight(w, b, params=p, multiplier=mult)
-                out = lyco.op(x, w_m.astype(x.dtype), None if b_m is None else b_m.astype(x.dtype))
+                b_m = None if b_m is None else b_m.astype(x.dtype)
+                if adapter.native_op is not None:
+                    # produce the native-layout output directly (e.g. the
+                    # head split fused into the merged projection matmul)
+                    return adapter.native_op(x, w_m.astype(x.dtype), b_m)
+                out = lyco.op(x, w_m.astype(x.dtype), b_m)
                 return adapter.cf_out(out)
 
             # org_forward: the FIRST call goes through ``next_fun`` so inner
@@ -665,7 +670,7 @@ class LycorisNetwork:
             def org_forward(z):
                 if not called[0]:
                     called[0] = True
-                    return adapter.cf_in(next_fun(adapter.cf_out(z), *args[1:], **kwargs))
+                    return adapter.cf_out_inv(next_fun(adapter.cf_in_inv(z), *args[1:], **kwargs))
                 return lyco.op(z, w.astype(z.dtype), None if b is None else b.astype(z.dtype))
 
             out = lyco.forward(
