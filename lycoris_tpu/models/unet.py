@@ -125,6 +125,12 @@ class CrossAttention(nn.Module):
         from ..ops.attention import dot_product_attention as dpa
 
         o = dpa(q, k, v, layout="BHTD")  # (B, T, H, D)
+        # named for the remat="attn_out" policy: saving the attention output
+        # (small) lets the bwd pass skip re-running the flash fwd kernel
+        # (the block's most expensive recompute per byte saved)
+        from jax.ad_checkpoint import checkpoint_name
+
+        o = checkpoint_name(o, "attn_out")
         o = o.reshape(b, tq, inner)
         return L.Linear(inner, name="to_out_0")(o)
 
@@ -251,9 +257,19 @@ class UNet2DConditionModel(nn.Module):
 
         ctx = encoder_hidden_states
         # rematerialization: trade recompute for activation HBM
-        # (jax.checkpoint via nn.remat; SURVEY "HBM bandwidth" guidance)
+        # (jax.checkpoint via nn.remat; SURVEY "HBM bandwidth" guidance).
+        # remat="attn_out": transformer remat that still saves each block's
+        # attention output, so the bwd pass never re-runs the flash fwd
         Resnet = nn.remat(ResnetBlock2D) if cfg.remat is True else ResnetBlock2D
-        Transformer = nn.remat(Transformer2DModel) if cfg.remat else Transformer2DModel
+        if cfg.remat == "attn_out":
+            Transformer = nn.remat(
+                Transformer2DModel,
+                policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+            )
+        elif cfg.remat:
+            Transformer = nn.remat(Transformer2DModel)
+        else:
+            Transformer = Transformer2DModel
         h = L.Conv2d(ch0, kernel_size=3, padding=1, name="conv_in")(sample)
         skips = [h]
 

@@ -230,27 +230,10 @@ class LoConModule(LycorisBaseModule):
         src["scalar"] = src["scalar"] * jnp.where(scaled, ratio, 1.0)
         return src, scaled, orig_norm * ratio
 
-    def fused_forward(self, x, org_weight, org_bias, params=None, multiplier=1.0):
-        """One-kernel y = x@(W + γ·up@down)ᵀ via lycoris_tpu.ops.lora_fused —
-        never materializes W+ΔW in HBM. Returns None when not applicable
-        (conv/tucker/DoRA/non-trivial scalar paths fall back)."""
-        if self.tucker or self.wd or self.layer.module_type != "linear":
-            return None
-        from ..ops import lora_fused
-
-        if not (lora_fused.enabled() and lora_fused.supported(x.shape, org_weight.shape)):
-            return None
-        down = self._p(params, "lora_down.weight")
-        up = self._p(params, "lora_up.weight")
-        eff_scale = self.scale * self._p(params, "scalar") * multiplier
-        x2d = x.reshape(-1, x.shape[-1])
-        y = lora_fused.fused_lora_matmul(
-            x2d, org_weight.astype(x.dtype), down.astype(x.dtype), up.astype(x.dtype), eff_scale
-        )
-        y = y.reshape(*x.shape[:-1], -1)
-        if org_bias is not None:
-            y = y + org_bias.astype(y.dtype)
-        return y
+    # (a fused one-kernel y = x@(W + γ·up@down)ᵀ dispatch existed here; the
+    # v5e A/B measured it 23% SLOWER than the merged fast path — see
+    # ops/lora_fused.py docstring and docs/Guidelines.md — so the merged
+    # path is the unconditional production default)
 
     # -- forward paths -----------------------------------------------------
     def _down_op(self, x, w, params=None):

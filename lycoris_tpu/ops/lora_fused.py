@@ -1,20 +1,20 @@
 """Fused low-rank epilogue matmul: y = x @ (W + γ·up@down)ᵀ in ONE kernel.
 
-The BASELINE north star: the adapter's weight delta is reconstructed inside
-the base matmul instead of materializing W' = W + ΔW in HBM (the merged
-fast path writes and re-reads W' every layer, every step; the reference's
-delta pattern pays a second full matmul instead). Per (M, N) output tile the
-kernel builds the effective weight tile in VMEM — up_tile(tn,r) @ down(r,K)
-is a rank-r MXU matmul — and contracts against the x tile with fp32
-accumulation.
+Per (M, N) output tile the kernel builds the effective weight tile in VMEM —
+up_tile(tn,r) @ down(r,K) is a rank-r MXU matmul — and contracts against the
+x tile with fp32 accumulation. Backward (custom_vjp): dx reuses the same
+fused kernel with the non-transposed effective weight; the factor grads are
+rank-r contractions (dup = γ·gᵀ(x·downᵀ), ddown = γ·(g·up)ᵀx) that XLA
+handles without help — no (N, K) gradient intermediate is ever materialized.
 
-Backward (custom_vjp): dx reuses the same fused kernel with the
-non-transposed effective weight; the factor grads are rank-r contractions
-(dup = γ·gᵀ(x·downᵀ), ddown = γ·(g·up)ᵀx) that XLA handles without help —
-no (N, K) gradient intermediate is ever materialized.
-
-Gated by LYCORIS_TPU_FUSED_LORA=1 (off by default pending perf validation on
-each shape class); jnp fallback everywhere else.
+MEASURED AND REJECTED as the in-train default (v5e, SD1.5 LoRA attn-mlp
+dim8 b8, warm cache): merged fast path 5.81 steps/s vs this kernel 4.51
+(−23%). Reconstructing W_eff per grid cell re-reads up/down every (i, k)
+step and the custom call blocks XLA from fusing the surrounding epilogue
+(bias/GEGLU/residual) into the matmul, while the merged path pays one W'
+HBM write per layer per step and then runs a clean fully-fused XLA matmul.
+The in-train dispatch was removed with that measurement (docs/Guidelines.md
+"Fused-epilogue A/B"); the kernel stays as a tested reference point.
 """
 
 from __future__ import annotations
@@ -156,13 +156,6 @@ def _bwd(res, g):
 
 
 fused_lora_matmul.defvjp(_fwd, _bwd)
-
-
-def enabled() -> bool:
-    return (
-        os.environ.get("LYCORIS_TPU_FUSED_LORA", "0") == "1"
-        and os.environ.get("LYCORIS_TPU_NO_PALLAS", "0") != "1"
-    )
 
 
 def supported(x_shape, w_shape) -> bool:

@@ -644,11 +644,6 @@ class LycorisNetwork:
                 and not lyco.not_supported
                 and (not train or no_dropout)
             ):
-                fused = getattr(lyco, "fused_forward", None)
-                if fused is not None:
-                    out = fused(x, w, b, params=p, multiplier=mult)
-                    if out is not None:
-                        return adapter.cf_out(out)
                 w_m, b_m = lyco.get_merged_weight(w, b, params=p, multiplier=mult)
                 b_m = None if b_m is None else b_m.astype(x.dtype)
                 if adapter.native_op is not None:
