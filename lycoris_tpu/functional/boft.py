@@ -43,16 +43,12 @@ def weight_gen(org_weight_shape, max_block_size: int, boft_m: int = -1, rescale:
     return oft_blocks, None
 
 
-def diff_weight(org_weight: jax.Array, *weights, constraint=None) -> jax.Array:
-    oft_blocks, rescale = weights
-    m, num, b, _ = oft_blocks.shape
+def _chain(inp: jax.Array, r: jax.Array) -> jax.Array:
+    """Apply the m butterfly stages to ``inp`` along axis 0 (reference
+    boft.py:37-71 permute/rotate/unpermute loop; static m)."""
+    m, num, b, _ = r.shape
     r_b = b // 2
-    I = jnp.eye(b, dtype=oft_blocks.dtype)
-    r = get_r(oft_blocks, I, constraint)
-    org = org_weight.astype(r.dtype)
-    inp = org
-    rest = org.shape[1:]
-
+    rest = inp.shape[1:]
     for i in range(m):
         bi = r[i]  # (num, b, b)
         g = 2
@@ -65,6 +61,33 @@ def diff_weight(org_weight: jax.Array, *weights, constraint=None) -> jax.Array:
         )
         inp = jnp.einsum("bij,bj...->bi...", bi, inp, precision=op_precision(bi, inp))
         inp = inp.reshape(-1, *rest).reshape(-1, k, g, *rest).swapaxes(1, 2).reshape(-1, *rest)
+    return inp
+
+
+def dense_rotation(r: jax.Array) -> jax.Array:
+    """Materialize the full butterfly product as ONE dense (dim, dim) matrix:
+    ``Q = chain(I)``, so ``chain(X) == Q @ X`` for features on axis 0.
+
+    TPU rationale (measured, docs/Guidelines.md): running the m-stage chain
+    directly over activations streams the full (M, dim) tensor through HBM m
+    times with 10×10-block VPU rotations (~8× off the HBM roofline, 1.4 ms at
+    M=8192 dim=640). Building Q costs one chain over a (dim, dim) identity
+    (M=dim ≪ tokens) after which the rotation is a single dense MXU matmul
+    (~0.1 ms at the same shape)."""
+    m, num, b, _ = r.shape
+    dim = num * b
+    return _chain(jnp.eye(dim, dtype=r.dtype), r)
+
+
+def diff_weight(org_weight: jax.Array, *weights, constraint=None) -> jax.Array:
+    oft_blocks, rescale = weights
+    I = jnp.eye(oft_blocks.shape[-1], dtype=oft_blocks.dtype)
+    r = get_r(oft_blocks, I, constraint)
+    org = org_weight.astype(r.dtype)
+    q = dense_rotation(r)
+    inp = jnp.einsum(
+        "ij,j...->i...", q, org, precision=op_precision(q, org)
+    )
 
     if rescale is not None:
         inp = inp * rescale
@@ -73,29 +96,19 @@ def diff_weight(org_weight: jax.Array, *weights, constraint=None) -> jax.Array:
 
 
 def bypass_forward_diff(org_out, *weights, constraint=None, need_transpose=False):
-    """Butterfly-rotate the base outputs (feature axis last); return the delta."""
+    """Butterfly-rotate the base outputs (feature axis last); return the delta.
+
+    Applied as ``x @ Qᵀ`` with the dense rotation from :func:`dense_rotation`
+    — one MXU matmul instead of m HBM-streaming stages (see dense_rotation)."""
     oft_blocks, rescale = weights
-    m, num, b, _ = oft_blocks.shape
-    r_b = b // 2
-    I = jnp.eye(b, dtype=oft_blocks.dtype)
+    I = jnp.eye(oft_blocks.shape[-1], dtype=oft_blocks.dtype)
     r = get_r(oft_blocks, I, constraint)
     inp = org = org_out.astype(r.dtype)
     if need_transpose:
         inp = org = jnp.swapaxes(inp, 1, -1)
-    lead = inp.shape[:-1]
 
-    for i in range(m):
-        bi = r[i]
-        g = 2
-        k = (2**i) * r_b
-        inp = (
-            inp.reshape(*lead, -1, g, k)
-            .swapaxes(-2, -1)
-            .reshape(*lead, -1)
-            .reshape(*lead, -1, b)
-        )
-        inp = jnp.einsum("bij,...bj->...bi", bi, inp, precision=op_precision(bi, inp))
-        inp = inp.reshape(*lead, -1).reshape(*lead, -1, k, g).swapaxes(-2, -1).reshape(*lead, -1)
+    q = dense_rotation(r)
+    inp = jnp.einsum("...j,ij->...i", inp, q, precision=op_precision(q, inp))
 
     if rescale is not None:
         inp = inp * jnp.swapaxes(rescale, 0, -1)

@@ -116,20 +116,22 @@ class ButterflyOFTModule(LycorisBaseModule):
             self.constraint if self.constraint > 0 else None,
         )
 
-    def make_weight(self, org_weight, params=None, scale=1.0, diff=False, rng=None, train=False):
-        m, b, r_b = self.boft_m, self.boft_b, self.boft_b // 2
+    def _dense_q(self, params, scale):
+        """The butterfly product as one dense (dim, dim) rotation — a single
+        MXU matmul applies it, vs m HBM-streaming permute/rotate stages
+        (functional.boft.dense_rotation; measured in docs/Guidelines.md)."""
+        from ..functional.boft import dense_rotation
+
         r = self.get_r(params)
-        I = jnp.eye(b, dtype=r.dtype)
-        inp = org = org_weight.astype(r.dtype)
-        rest = org.shape[1:]
-        for i in range(m):
-            bi = r[i]
-            if scale != 1:
-                bi = bi * scale + (1 - scale) * I
-            g, k = 2, (2**i) * r_b
-            inp = inp.reshape(-1, g, k, *rest).swapaxes(1, 2).reshape(-1, b, *rest)
-            inp = jnp.einsum("bij,bj...->bi...", bi, inp, precision=op_precision(bi, inp))
-            inp = inp.reshape(-1, *rest).reshape(-1, k, g, *rest).swapaxes(1, 2).reshape(-1, *rest)
+        if scale != 1:
+            I = jnp.eye(self.boft_b, dtype=r.dtype)
+            r = r * scale + (1 - scale) * I
+        return dense_rotation(r)
+
+    def make_weight(self, org_weight, params=None, scale=1.0, diff=False, rng=None, train=False):
+        q = self._dense_q(params, scale)
+        org = org_weight.astype(q.dtype)
+        inp = jnp.einsum("ij,j...->i...", q, org, precision=op_precision(q, org))
         if self.rescaled:
             inp = inp * self._p(params, "rescale")
         if diff:
@@ -160,32 +162,12 @@ class ButterflyOFTModule(LycorisBaseModule):
         return src, scaled, orig_norm * ratio
 
     def _bypass(self, x, params, scale, org_forward, diff):
-        m, b, r_b = self.boft_m, self.boft_b, self.boft_b // 2
-        r = self.get_r(params)
-        I = jnp.eye(b, dtype=r.dtype)
+        q = self._dense_q(params, scale)
         org_out = org_forward(x)
-        inp = org = org_out.astype(r.dtype)
+        inp = org = org_out.astype(q.dtype)
         if self.layer.is_conv:
             inp = org = jnp.swapaxes(inp, 1, -1)
-        lead = inp.shape[:-1]
-        for i in range(m):
-            bi = r[i]
-            if scale != 1:
-                bi = bi * scale + (1 - scale) * I
-            g, k = 2, (2**i) * r_b
-            inp = (
-                inp.reshape(*lead, -1, g, k)
-                .swapaxes(-2, -1)
-                .reshape(*lead, -1)
-                .reshape(*lead, -1, b)
-            )
-            inp = jnp.einsum("bij,...bj->...bi", bi, inp, precision=op_precision(bi, inp))
-            inp = (
-                inp.reshape(*lead, -1)
-                .reshape(*lead, -1, k, g)
-                .swapaxes(-2, -1)
-                .reshape(*lead, -1)
-            )
+        inp = jnp.einsum("...j,ij->...i", inp, q, precision=op_precision(q, inp))
         if self.rescaled:
             inp = inp * jnp.swapaxes(self._p(params, "rescale"), 0, -1)
         if self.layer.is_conv:
