@@ -98,7 +98,8 @@ def run_case(use_sdxl: bool, algo: str, batch: int, iters: int):
     tr = DiffusionTrainer(model, variables, net, lr=1e-4, mesh=mesh,
                           weight_dtype=jnp.bfloat16, merged_forward=merged,
                           merge_mode=os.environ.get("BENCH_MERGE_MODE", "interceptor"),
-                          auto_layout=os.environ.get("BENCH_AUTO_LAYOUT", "0") == "1")
+                          auto_layout={"0": False, "1": True}.get(
+                              os.environ.get("BENCH_AUTO_LAYOUT", ""), None))
     batch_data = {"latents": latents, "context": ctx}
 
     print("[bench] compiling + warmup...", file=sys.stderr)
