@@ -42,6 +42,11 @@ class UNetConfig:
     mid_transformer_depth: int = 1
     context_dim: int = 768
     num_heads: int = 8
+    head_dim: int | None = None  # diffusers attention_head_dim: when set,
+    # heads = channels // head_dim per level (SDXL: 64 → 10/20 heads; the
+    # fixed-8-heads alternative gives head_dim 160 at the 1280 level, which
+    # exceeds the flash kernel's D ≤ 128 and forces XLA attention with
+    # materialized T² logits exactly where SDXL attends most)
     norm_groups: int = 32
     time_embed_dim: int | None = None  # default 4*ch0
     addition_embed_dim: int | None = None  # SDXL: 2816 add_embedding in dim
@@ -65,7 +70,7 @@ def sdxl_config(dtype=jnp.float32, remat=False) -> UNetConfig:
         transformer_depth=(0, 2, 10),
         mid_transformer_depth=10,
         context_dim=2048,
-        num_heads=8,
+        head_dim=64,  # diffusers SDXL attention_head_dim (10/20 heads)
         addition_embed_dim=2816,
         dtype=dtype,
     )
@@ -256,6 +261,11 @@ class UNet2DConditionModel(nn.Module):
         temb = temb.astype(cfg.dtype)
 
         ctx = encoder_hidden_states
+
+        def heads(ch):
+            # diffusers attention_head_dim semantics when cfg.head_dim set
+            return ch // cfg.head_dim if cfg.head_dim else cfg.num_heads
+
         # rematerialization: trade recompute for activation HBM
         # (jax.checkpoint via nn.remat; SURVEY "HBM bandwidth" guidance).
         # remat="attn_out": transformer remat that still saves each block's
@@ -280,7 +290,7 @@ class UNet2DConditionModel(nn.Module):
                 h = Resnet(ch, cfg.norm_groups, cfg.dtype, name=f"down_blocks_{bi}_resnets_{li}")(h, temb)
                 if depth > 0:
                     h = Transformer(
-                        ch, depth, cfg.context_dim, cfg.num_heads, cfg.norm_groups, cfg.dtype,
+                        ch, depth, cfg.context_dim, heads(ch), cfg.norm_groups, cfg.dtype,
                         name=f"down_blocks_{bi}_attentions_{li}",
                     )(h, ctx)
                 skips.append(h)
@@ -293,7 +303,7 @@ class UNet2DConditionModel(nn.Module):
         h = Resnet(mid_ch, cfg.norm_groups, cfg.dtype, name="mid_block_resnets_0")(h, temb)
         if cfg.mid_transformer_depth > 0:
             h = Transformer(
-                mid_ch, cfg.mid_transformer_depth, cfg.context_dim, cfg.num_heads,
+                mid_ch, cfg.mid_transformer_depth, cfg.context_dim, heads(mid_ch),
                 cfg.norm_groups, cfg.dtype, name="mid_block_attentions_0",
             )(h, ctx)
         h = Resnet(mid_ch, cfg.norm_groups, cfg.dtype, name="mid_block_resnets_1")(h, temb)
@@ -308,7 +318,7 @@ class UNet2DConditionModel(nn.Module):
                 h = Resnet(ch, cfg.norm_groups, cfg.dtype, name=f"up_blocks_{ui}_resnets_{li}")(h, temb)
                 if depth > 0:
                     h = Transformer(
-                        ch, depth, cfg.context_dim, cfg.num_heads, cfg.norm_groups, cfg.dtype,
+                        ch, depth, cfg.context_dim, heads(ch), cfg.norm_groups, cfg.dtype,
                         name=f"up_blocks_{ui}_attentions_{li}",
                     )(h, ctx)
             if bi > 0:
