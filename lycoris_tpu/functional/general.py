@@ -271,9 +271,22 @@ conv3d = partial(convnd)
 
 
 def layer_norm(x: jax.Array, normalized_shape, weight=None, bias=None, eps: float = 1e-5) -> jax.Array:
-    """torch F.layer_norm semantics: normalize over the trailing dims."""
+    """torch F.layer_norm semantics: normalize over the trailing dims.
+
+    Single-trailing-dim affine case dispatches to the fused Pallas kernel
+    on TPU (ops/layer_norm.py) — XLA's norm fusions run ~an order of
+    magnitude off the bandwidth roofline at SD shapes."""
     if isinstance(normalized_shape, int):
         normalized_shape = (normalized_shape,)
+    if len(normalized_shape) == 1 and weight is not None and weight.ndim == 1:
+        from ..ops import layer_norm as _ln
+
+        try:
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        if _ln.supported(x.shape, on_tpu):
+            return _ln.layer_norm(x, weight, bias, eps)
     axes = tuple(range(x.ndim - len(normalized_shape), x.ndim))
     mean = jnp.mean(x, axis=axes, keepdims=True)
     var = jnp.var(x, axis=axes, keepdims=True)

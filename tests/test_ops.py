@@ -94,3 +94,50 @@ def test_fused_lora_matmul(interpret_pallas, shape):
     gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, down, up)
     for a, b in zip(gr, gf):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "shape,bias",
+    [
+        ((8, 16, 320), True),     # SD1.5 transformer dim (non-128-multiple lanes)
+        ((4, 64, 1280), True),    # SDXL level-2 dim
+        ((2, 24, 640), False),    # no-bias LN (DiT norms)
+        ((72, 256), True),        # 2D input, odd row count -> br=8
+    ],
+)
+def test_fused_layer_norm(interpret_pallas, shape, bias):
+    from lycoris_tpu.ops import layer_norm as ln
+
+    c = shape[-1]
+    k = jax.random.key(5)
+    x = jax.random.normal(jax.random.fold_in(k, 1), shape)
+    w = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(k, 2), (c,))
+    b = 0.1 * jax.random.normal(jax.random.fold_in(k, 3), (c,)) if bias else None
+    g = jax.random.normal(jax.random.fold_in(k, 4), shape)
+    eps = 1e-5
+
+    def ref(x, w, b):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + eps) * w
+        return y + b if b is not None else y
+
+    got = ln.layer_norm(x, w, b, eps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x, w, b)),
+                               rtol=1e-5, atol=1e-5)
+
+    args = (x, w, b) if bias else (x, w)
+
+    def loss_fused(*a):
+        bb = a[2] if bias else None
+        return jnp.sum(ln.layer_norm(a[0], a[1], bb, eps) * g)
+
+    def loss_ref(*a):
+        bb = a[2] if bias else None
+        return jnp.sum(ref(a[0], a[1], bb) * g)
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(len(args))))(*args)
+    gf = jax.grad(loss_fused, argnums=tuple(range(len(args))))(*args)
+    for a, bgrad in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(bgrad), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
