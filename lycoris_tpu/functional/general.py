@@ -306,7 +306,12 @@ def group_norm(x: jax.Array, num_groups: int, weight=None, bias=None, eps: float
     minor NCHW layouts convs prefer (profiled at ~65 ms/step on the SD1.5
     UNet — more than attention). Instead: per-CHANNEL sums over spatial
     (layout-native reduction, one fused pass), a tiny (N, C)→(N, G) combine,
-    and one output FMA with γ/β folded in. Same math, fp32 statistics."""
+    and one output FMA with γ/β folded in. Same math, fp32 statistics.
+
+    (A Pallas multi-kernel GN exists in ops/group_norm.py but measured
+    SLOWER in-train — SD1.5 5.79→5.01 steps/s — because its custom-call
+    boundaries stop XLA from fusing the surrounding silu/conv epilogues
+    into the norm chain; this jnp form stays the production path.)"""
     n, c, *spatial = x.shape
     cg = c // num_groups
     sp_axes = tuple(range(2, x.ndim))

@@ -141,3 +141,44 @@ def test_fused_layer_norm(interpret_pallas, shape, bias):
     for a, bgrad in zip(gr, gf):
         np.testing.assert_allclose(np.asarray(bgrad), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "shape,groups,bias",
+    [
+        ((2, 320, 16, 16), 32, True),   # SD resnet GN
+        ((2, 64, 8, 8), 8, True),
+        ((3, 96, 32, 8), 4, False),
+    ],
+)
+def test_fused_group_norm(interpret_pallas, shape, groups, bias):
+    from lycoris_tpu.ops import group_norm as gn
+    from lycoris_tpu.functional import general
+
+    n, c = shape[:2]
+    k = jax.random.key(9)
+    x = jax.random.normal(jax.random.fold_in(k, 1), shape)
+    w = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(k, 2), (c,))
+    b = 0.1 * jax.random.normal(jax.random.fold_in(k, 3), (c,)) if bias else None
+    g = jax.random.normal(jax.random.fold_in(k, 4), shape)
+    eps = 1e-5
+
+    ref = general.group_norm(x, groups, w, b, eps)  # jnp path on CPU
+    got = gn.group_norm(x, groups, w, b, eps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    args = (x, w, b) if bias else (x, w)
+
+    def loss_fused(*a):
+        bb = a[2] if bias else None
+        return jnp.sum(gn.group_norm(a[0], groups, a[1], bb, eps) * g)
+
+    def loss_ref(*a):
+        bb = a[2] if bias else None
+        return jnp.sum(general.group_norm(a[0], groups, a[1], bb, eps) * g)
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(len(args))))(*args)
+    gf = jax.grad(loss_fused, argnums=tuple(range(len(args))))(*args)
+    for a, bgrad in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(bgrad), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
