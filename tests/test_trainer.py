@@ -55,15 +55,28 @@ def test_train_step_decreases_loss(algo):
 
 
 def test_train_step_model_sharded():
-    """tp-ish: frozen base sharded over a 2-wide model axis, 4-wide data."""
+    """tp-ish: frozen base sharded over a 2-wide model axis, 4-wide data.
+
+    The sharded step must agree NUMERICALLY with the plain replicated
+    trainer (same batch, same rng) — XLA inserts the all-gathers, so only
+    reduction order may differ."""
     model, variables, net, batch = _tiny_setup("lokr")
+    rng = jax.random.key(3)
+
     mesh = shd.make_mesh(data=4, model=2)
     tr = DiffusionTrainer(model, variables, net, lr=1e-3, mesh=mesh,
                           weight_dtype=jnp.float32, shard_base=True)
-    rng = jax.random.key(3)
-    l0 = float(tr.train_step(batch, rng))
-    l1 = float(tr.train_step(batch, jax.random.fold_in(rng, 1)))
-    assert np.isfinite([l0, l1]).all()
+    sharded = [float(tr.train_step(batch, jax.random.fold_in(rng, i)))
+               for i in range(3)]
+    assert np.isfinite(sharded).all()
+
+    model, variables, net, batch = _tiny_setup("lokr")
+    mesh1 = shd.make_mesh(data=1, model=1)
+    tr1 = DiffusionTrainer(model, variables, net, lr=1e-3, mesh=mesh1,
+                           weight_dtype=jnp.float32)
+    plain = [float(tr1.train_step(batch, jax.random.fold_in(rng, i)))
+             for i in range(3)]
+    np.testing.assert_allclose(sharded, plain, rtol=1e-4)
 
 
 def test_auto_layout_matches_plain_jit():
