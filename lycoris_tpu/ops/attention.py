@@ -82,12 +82,21 @@ def dot_product_attention(q, k, v, layout="BTHD"):
 
         qt = to_bhtd(q)
         if flash.supported(qt.shape, qt.shape):
-            # measured blocks (v5e): SD1.5 D40 → bq256/bk512 (T4096 sweep,
-            # bq1024 OOMs VMEM); SDXL D64 → bq512/bk512 wins ~5% at both
-            # T4096 H10 and T1024 H20 (bq1024 fails to compile at D64)
-            bq = 256 if d <= 48 else 512
+            # v5e sweeps, fwd and bwd tiled independently, scan-timed (30
+            # chained applies in one jit — per-call timing is swamped by the
+            # ~1-3 ms remote-dispatch floor at T1024 scale): T4096 keeps the
+            # fwd winners (D40 256/512, D64 512/512; bq1024 OOMs VMEM at
+            # D40) with bwd bk widened to 1024 (~1%: D40 13.06→12.95, D64
+            # 8.40→8.31 ms/apply). T1024 is flat within 3% across all
+            # sane tilings (D64 2.19-2.27, D80 1.84-1.86 ms/apply).
+            if tq <= 1024:
+                bq, bk, bqb, bkb = 256, 1024, 128, 1024
+            else:
+                bq = 256 if d <= 48 else 512
+                bk, bqb, bkb = 512, bq, 1024
             o = flash.flash_attention(
-                qt, to_bhtd(k), to_bhtd(v), sm_scale, block_q=bq, block_k=512
+                qt, to_bhtd(k), to_bhtd(v), sm_scale, block_q=bq, block_k=bk,
+                block_q_bwd=bqb, block_k_bwd=bkb,
             )
             return o.transpose(0, 2, 1, 3)
     if mode in ("auto", "custom", "stock") and _use_flash(tq, tk, d):

@@ -196,14 +196,19 @@ def _bwd_call(q, k, v, do, lse, di, sm_scale, block_q, block_k, interpret=False)
 _INTERPRET = False  # tests flip this for CPU interpreter mode
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def flash_attention(q, k, v, sm_scale, block_q=256, block_k=512):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def flash_attention(q, k, v, sm_scale, block_q=256, block_k=512,
+                    block_q_bwd=None, block_k_bwd=None):
     """Non-causal self-attention, shapes (B, H, T, D), T % 128 == 0, D ≤ 128.
 
     Default blocks from the v5e sweep (bq×bk, fwd+bwd ms at B8):
     T4096 D40: 256/512→16.0 (stock kernel 22.9); T4096 D64 H10: 256/512→19.2
     (stock 28.2); T1024 D80: flat 4.7-4.9 (stock 5.9). bq=1024 exceeds VMEM
-    (s_scr is bq×T f32)."""
+    (s_scr is bq×T f32).
+
+    ``block_q_bwd``/``block_k_bwd`` tile the fused backward independently
+    (inner q loop / k grid); None inherits the forward blocks. The bwd has no
+    s_scr scratch, so its VMEM ceiling differs from the forward's."""
     o, _ = _flash_fwd(q, k, v, sm_scale, block_q, block_k)
     return o
 
@@ -217,12 +222,12 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k):
     return o.reshape(b, h, t, d), lse.reshape(b, h, t)
 
 
-def _vjp_fwd(q, k, v, sm_scale, block_q, block_k):
+def _vjp_fwd(q, k, v, sm_scale, block_q, block_k, block_q_bwd, block_k_bwd):
     o, lse = _flash_fwd(q, k, v, sm_scale, block_q, block_k)
     return o, (q, k, v, o, lse)
 
 
-def _vjp_bwd(sm_scale, block_q, block_k, res, g):
+def _vjp_bwd(sm_scale, block_q, block_k, block_q_bwd, block_k_bwd, res, g):
     q, k, v, o, lse = res
     b, h, t, d = q.shape
     # di = rowsum(dO ∘ O): one fused elementwise+reduce, no 128-lane broadcast
@@ -230,7 +235,8 @@ def _vjp_bwd(sm_scale, block_q, block_k, res, g):
     dq, dk, dv = _bwd_call(
         q.reshape(b * h, t, d), k.reshape(b * h, t, d), v.reshape(b * h, t, d),
         g.reshape(b * h, t, d), lse.reshape(b * h, 1, t), di.reshape(b * h, 1, t),
-        sm_scale, block_q, block_k, interpret=_INTERPRET,
+        sm_scale, block_q_bwd or block_q, block_k_bwd or block_k,
+        interpret=_INTERPRET,
     )
     rs = lambda x: x.reshape(b, h, t, d)
     return rs(dq), rs(dk), rs(dv)

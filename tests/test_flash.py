@@ -62,6 +62,33 @@ def test_flash_grads_match_reference(interp):
         )
 
 
+def test_flash_independent_bwd_blocks(interp):
+    """bwd tiled differently from fwd (the in-train T1024 dispatch) stays
+    within the same gradient gate."""
+    shape = (1, 2, 1024, 64)
+    ks = jax.random.split(jax.random.key(3), 4)
+    q = jax.random.normal(ks[0], shape, jnp.float32)
+    k = jax.random.normal(ks[1], shape, jnp.float32)
+    v = jax.random.normal(ks[2], shape, jnp.float32)
+    ct = jax.random.normal(ks[3], shape, jnp.float32)
+    sm = 1.0 / shape[-1] ** 0.5
+
+    def loss_ours(q, k, v):
+        o = flash.flash_attention(q, k, v, sm, 256, 1024, 128, 1024)
+        return jnp.sum(o * ct)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref_attn(q, k, v, sm) * ct)
+
+    g_ours = jax.grad(loss_ours, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ours, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
 def test_flash_bf16_close(interp):
     shape = (1, 1, 1024, 40)
     ks = jax.random.split(jax.random.key(2), 3)
