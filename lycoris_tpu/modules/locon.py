@@ -235,6 +235,44 @@ class LoConModule(LycorisBaseModule):
     # ops/lora_fused.py docstring and docs/Guidelines.md — so the merged
     # path is the unconditional production default)
 
+    def factored_merged_fns(self, multiplier):
+        """(recon_fn, dtheta_fn) for the dense-dW-free merged backward
+        (functional/merged.py), or None when this config needs the generic
+        autodiff path (conv kernels, tucker, DoRA, rank dropout)."""
+        if self.layer.is_conv or self.tucker or self.wd or self.rank_dropout:
+            return None
+        from ..functional.merged import lora_dtheta
+
+        c = self.scale * multiplier
+
+        def recon_fn(theta):
+            wa = self._p(theta, "lora_up.weight")
+            wb = self._p(theta, "lora_down.weight")
+            w = jnp.matmul(wa, wb, precision=op_precision(wa, wb))
+            return w * (self._p(theta, "scalar") * c)
+
+        want_scalar = "scalar" in self.trainable
+
+        def dtheta_fn(x2d, dy2d, theta):
+            up = self._p(theta, "lora_up.weight")
+            down = self._p(theta, "lora_down.weight")
+            scalar = self._p(theta, "scalar")
+            d_up, d_down, d_s = lora_dtheta(x2d, dy2d, up, down, want_scalar)
+            cc = c * scalar
+            out = {}
+            for k, leaf in theta.items():
+                if k == "lora_up.weight":
+                    out[k] = (d_up * cc).astype(leaf.dtype)
+                elif k == "lora_down.weight":
+                    out[k] = (d_down * cc).astype(leaf.dtype)
+                elif k == "scalar" and want_scalar:
+                    out[k] = (d_s * c).astype(leaf.dtype)
+                else:
+                    out[k] = jnp.zeros_like(leaf)
+            return out
+
+        return recon_fn, dtheta_fn
+
     # -- forward paths -----------------------------------------------------
     def _down_op(self, x, w, params=None):
         """down conv carries the layer's stride/padding only (locon.py:85-99)."""

@@ -365,6 +365,57 @@ class LokrModule(LycorisBaseModule):
                 src[k] = src[k] * r
         return src, scaled, orig_norm * ratio
 
+    def factored_merged_fns(self, multiplier):
+        """(recon_fn, dtheta_fn) for the dense-dW-free merged backward
+        (functional/merged.py), or None when this config needs the generic
+        autodiff path (conv kernels, tucker, DoRA, rank dropout)."""
+        if self.layer.is_conv or self.tucker or self.wd or self.rank_dropout:
+            return None
+        from ..functional.merged import lokr_dtheta
+
+        def recon_fn(theta):
+            w = make_kron(self._rebuild_w1(theta), self._rebuild_w2(theta), self.scale)
+            return w * (self._p(theta, "scalar") * multiplier)
+
+        want_scalar = "scalar" in self.trainable
+
+        def dtheta_fn(x2d, dy2d, theta):
+            w1f = self._rebuild_w1(theta)
+            if self.use_w2:
+                w2f, w2ab = self._p(theta, "lokr_w2"), None
+            else:
+                w2f = None
+                w2ab = (self._p(theta, "lokr_w2_a"), self._p(theta, "lokr_w2_b"))
+            scalar = self._p(theta, "scalar")
+            dW1, dW2, d_s = lokr_dtheta(
+                x2d, dy2d, w1f, w2f, w2_ab=w2ab, want_scalar=want_scalar
+            )
+            cc = self.scale * multiplier * scalar
+            grads = {}
+            if self.use_w1:
+                grads["lokr_w1"] = dW1 * cc
+            else:
+                w1a = self._p(theta, "lokr_w1_a")
+                w1b = self._p(theta, "lokr_w1_b")
+                d = dW1 * cc
+                grads["lokr_w1_a"] = jnp.matmul(d, w1b.astype(d.dtype).T)
+                grads["lokr_w1_b"] = jnp.matmul(w1a.astype(d.dtype).T, d)
+            if self.use_w2:
+                grads["lokr_w2"] = dW2 * cc
+            else:
+                dA, dB = dW2
+                grads["lokr_w2_a"] = dA * cc
+                grads["lokr_w2_b"] = dB * cc
+            if want_scalar:
+                grads["scalar"] = d_s * (self.scale * multiplier)
+            out = {}
+            for k, leaf in theta.items():
+                g = grads.get(k)
+                out[k] = jnp.zeros_like(leaf) if g is None else g.astype(leaf.dtype)
+            return out
+
+        return recon_fn, dtheta_fn
+
     # -- forward paths ----------------------------------------------------------
     def _functional_weights(self, params):
         """Weights tuple in functional layout (conv w2b unflattened)."""

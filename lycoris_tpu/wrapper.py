@@ -644,6 +644,60 @@ class LycorisNetwork:
                 and not lyco.not_supported
                 and (not train or no_dropout)
             ):
+                # dense-dW-free backward (functional/merged.py): in training,
+                # algos with a factored cotangent reordering (LoRA/LoKr
+                # linear) wrap the layer in a custom_vjp so the frozen base
+                # never gets a dense xᵀ·dy weight-grad matmul — 106 ms/step
+                # of the SDXL@1024 b4 profile. Same forward, exact grads.
+                if (
+                    train
+                    and p is not None
+                    and os.environ.get("LYCORIS_TPU_FACTORED_GRAD", "1") == "1"
+                ):
+                    from .functional import merged as fm
+
+                    out_dim, in_dim = lyco.shape[0], lyco.shape[1]
+                    fns = None
+                    if fm.worth_factoring(
+                        out_dim, in_dim,
+                        int(os.environ.get("LYCORIS_TPU_FACTORED_MIN", "512")),
+                    ):
+                        fns = getattr(lyco, "factored_merged_fns", None)
+                        fns = fns(mult) if fns is not None else None
+                    if fns is not None:
+                        recon_fn, dtheta_fn = fns
+                        bx = None if b is None else b.astype(x.dtype)
+                        if adapter.native_op is not None:
+                            apply_fn = lambda xx, ww, bb: adapter.native_op(
+                                xx, ww.astype(xx.dtype), bb
+                            )
+                            # native (…, H, T, D) cotangent: dx directly via
+                            # einsum (no relayout), dy2d via the adapter's
+                            # output converter (one transpose in bwd)
+                            dx_fn = lambda g, ww: jnp.einsum(
+                                "...htd,hdc->...tc", g,
+                                ww.astype(g.dtype).reshape(
+                                    g.shape[-3], g.shape[-1], in_dim
+                                ),
+                            )
+                            dy2d_fn = lambda g: adapter.cf_out_inv(g).reshape(
+                                -1, out_dim
+                            )
+                            return fm.factored_merged_apply(
+                                x, w, bx, p, recon_fn=recon_fn,
+                                dtheta_fn=dtheta_fn, apply_fn=apply_fn,
+                                dx_fn=dx_fn, dy2d_fn=dy2d_fn,
+                            )
+                        apply_fn = lambda xx, ww, bb: lyco.op(
+                            xx, ww.astype(xx.dtype), bb
+                        )
+                        out = fm.factored_merged_apply(
+                            x, w, bx, p, recon_fn=recon_fn,
+                            dtheta_fn=dtheta_fn, apply_fn=apply_fn,
+                            dx_fn=lambda g, ww: jnp.matmul(g, ww.astype(g.dtype)),
+                            dy2d_fn=lambda g: g.reshape(-1, out_dim),
+                        )
+                        return adapter.cf_out(out)
                 w_m, b_m = lyco.get_merged_weight(w, b, params=p, multiplier=mult)
                 b_m = None if b_m is None else b_m.astype(x.dtype)
                 if adapter.native_op is not None:
