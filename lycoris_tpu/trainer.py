@@ -241,8 +241,20 @@ class DiffusionTrainer:
             base_abstract, batch, rng,
         ).compile()
         base_formats = compiled.input_formats[0][3]
+
+        # device_put SILENTLY IGNORES major_to_minor when the requested Layout
+        # carries explicit tiling (measured on jax/axon: Format(Layout((1,0),
+        # tiling=((8,128),(2,1)))) leaves the array at (0,1)). input_formats
+        # reports tiling-explicit layouts, so any non-default layout the
+        # executable asks for (e.g. column-major weights on the factored-grad
+        # graph) would be dropped and the call rejected. Strip tiling — the
+        # dim order is what matters; the backend re-derives canonical tiling.
+        def _relayout(x, f):
+            want = Format(Layout(major_to_minor=f.layout.major_to_minor), f.sharding)
+            return jax.device_put(x, want)
+
         self.base_params = jax.tree_util.tree_map(
-            lambda x, f: jax.device_put(x, f), self.base_params, base_formats
+            _relayout, self.base_params, base_formats
         )
         self._compiled = compiled
         self._compiled_shapes = jax.tree_util.tree_map(jnp.shape, batch)
