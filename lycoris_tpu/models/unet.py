@@ -129,15 +129,17 @@ class CrossAttention(nn.Module):
         b, tq = x.shape[0], x.shape[1]
         from ..ops.attention import dot_product_attention as dpa
 
+        # dpa checkpoint-names its output "attn_out" (and, on the custom
+        # flash path, the softmax stats "attn_lse") for the remat="attn_out"
+        # policy: saving both lets the checkpoint replay skip the flash fwd
+        # kernel entirely (ops/flash.py flash_attention_remat)
         o = dpa(q, k, v, layout="BHTD")  # (B, T, H, D)
-        # named for the remat="attn_out" policy: saving the attention output
-        # (small) lets the bwd pass skip re-running the flash fwd kernel
-        # (the block's most expensive recompute per byte saved)
+        o = o.reshape(b, tq, inner)
         from jax.ad_checkpoint import checkpoint_name
 
-        o = checkpoint_name(o, "attn_out")
-        o = o.reshape(b, tq, inner)
-        return L.Linear(inner, name="to_out_0")(o)
+        return checkpoint_name(
+            L.Linear(inner, name="to_out_0")(o), "attn_proj_out"
+        )
 
 
 class FeedForward(nn.Module):
@@ -152,7 +154,9 @@ class FeedForward(nn.Module):
         h = L.Linear(inner * 2, name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * jax.nn.gelu(gate)
-        return L.Linear(self.dim, name="net_2")(h)
+        from jax.ad_checkpoint import checkpoint_name
+
+        return checkpoint_name(L.Linear(self.dim, name="net_2")(h), "ff_out")
 
 
 class BasicTransformerBlock(nn.Module):
@@ -163,14 +167,19 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
+        from jax.ad_checkpoint import checkpoint_name
+
+        def norm(name, x):
+            return checkpoint_name(L.LayerNorm(self.dim, name=name)(x), "norm_out")
+
         x = x + CrossAttention(self.dim, None, self.num_heads, self.dtype, name="attn1")(
-            L.LayerNorm(self.dim, name="norm1")(x)
+            norm("norm1", x)
         )
         x = x + CrossAttention(self.dim, self.context_dim, self.num_heads, self.dtype, name="attn2")(
-            L.LayerNorm(self.dim, name="norm2")(x), context
+            norm("norm2", x), context
         )
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
-            L.LayerNorm(self.dim, name="norm3")(x)
+            norm("norm3", x)
         )
         return x
 
@@ -268,13 +277,29 @@ class UNet2DConditionModel(nn.Module):
 
         # rematerialization: trade recompute for activation HBM
         # (jax.checkpoint via nn.remat; SURVEY "HBM bandwidth" guidance).
-        # remat="attn_out": transformer remat that still saves each block's
-        # attention output, so the bwd pass never re-runs the flash fwd
+        # Named-save tiers (each ~C·T·2 bytes per name per block, vs skipping
+        # that op's recompute in the replay):
+        #   "attn_out":  attention output + softmax lse — the replayed flash
+        #                fwd kernel becomes dead code (ops/flash.py graft)
+        #   "attn_ff":   + ff net_2 and attention to_out outputs — the replay
+        #                also skips those matmuls (~6 of the 18 C²T matmul
+        #                FLOPs per block)
+        #   "attn_ff_norm": + the three LayerNorm outputs — the replay skips
+        #                norm stats+normalize (VPU/HBM-bound) too
         Resnet = nn.remat(ResnetBlock2D) if cfg.remat is True else ResnetBlock2D
-        if cfg.remat == "attn_out":
+        _TIERS = {
+            "attn_out": ("attn_out", "attn_lse"),
+            "attn_ff": ("attn_out", "attn_lse", "ff_out", "attn_proj_out"),
+            "attn_ff_norm": (
+                "attn_out", "attn_lse", "ff_out", "attn_proj_out", "norm_out"
+            ),
+        }
+        if cfg.remat in _TIERS:
             Transformer = nn.remat(
                 Transformer2DModel,
-                policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    *_TIERS[cfg.remat]
+                ),
             )
         elif cfg.remat:
             Transformer = nn.remat(Transformer2DModel)

@@ -94,11 +94,16 @@ def dot_product_attention(q, k, v, layout="BTHD"):
             else:
                 bq = 256 if d <= 48 else 512
                 bk, bqb, bkb = 512, bq, 1024
-            o = flash.flash_attention(
+            # remat variant: o/lse are checkpoint-named so the fwd kernel is
+            # dead code in a checkpoint replay under the "attn_out"+"attn_lse"
+            # save policy (models/unet.py remat="attn_out")
+            o = flash.flash_attention_remat(
                 qt, to_bhtd(k), to_bhtd(v), sm_scale, block_q=bq, block_k=bk,
                 block_q_bwd=bqb, block_k_bwd=bkb,
             )
             return o.transpose(0, 2, 1, 3)
+    from jax.ad_checkpoint import checkpoint_name
+
     if mode in ("auto", "custom", "stock") and _use_flash(tq, tk, d):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
@@ -107,7 +112,7 @@ def dot_product_attention(q, k, v, layout="BTHD"):
             sm_scale=sm_scale,
             block_sizes=_block_sizes(tq),
         )
-        return o.transpose(0, 2, 1, 3)
+        return checkpoint_name(o, "attn_out").transpose(0, 2, 1, 3)
     if bhtd:
         q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-    return jax.nn.dot_product_attention(q, k, v)
+    return checkpoint_name(jax.nn.dot_product_attention(q, k, v), "attn_out")

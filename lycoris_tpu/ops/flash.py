@@ -227,7 +227,7 @@ def _vjp_fwd(q, k, v, sm_scale, block_q, block_k, block_q_bwd, block_k_bwd):
     return o, (q, k, v, o, lse)
 
 
-def _vjp_bwd(sm_scale, block_q, block_k, block_q_bwd, block_k_bwd, res, g):
+def _bwd_from_res(res, g, sm_scale, block_q, block_k, block_q_bwd, block_k_bwd):
     q, k, v, o, lse = res
     b, h, t, d = q.shape
     # di = rowsum(dO ∘ O): one fused elementwise+reduce, no 128-lane broadcast
@@ -242,7 +242,61 @@ def _vjp_bwd(sm_scale, block_q, block_k, block_q_bwd, block_k_bwd, res, g):
     return rs(dq), rs(dk), rs(dv)
 
 
+def _vjp_bwd(sm_scale, block_q, block_k, block_q_bwd, block_k_bwd, res, g):
+    return _bwd_from_res(res, g, sm_scale, block_q, block_k, block_q_bwd, block_k_bwd)
+
+
 flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# remat-friendly variant: the fwd kernel is dead code in a checkpoint replay
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _graft(q, k, v, o, lse, sm_scale, block_q, block_k, block_q_bwd, block_k_bwd):
+    return o
+
+
+def _graft_fwd(q, k, v, o, lse, sm_scale, block_q, block_k, block_q_bwd, block_k_bwd):
+    return o, (q, k, v, o, lse)
+
+
+def _graft_bwd(sm_scale, block_q, block_k, block_q_bwd, block_k_bwd, res, g):
+    dq, dk, dv = _bwd_from_res(res, g, sm_scale, block_q, block_k,
+                               block_q_bwd, block_k_bwd)
+    # o/lse arrive via stop_gradient — these zeros are dropped by its
+    # transpose and DCE'd by XLA
+    return dq, dk, dv, jnp.zeros_like(res[3]), jnp.zeros_like(res[4])
+
+
+_graft.defvjp(_graft_fwd, _graft_bwd)
+
+
+def flash_attention_remat(q, k, v, sm_scale, block_q=256, block_k=512,
+                          block_q_bwd=None, block_k_bwd=None):
+    """``flash_attention`` whose fwd kernel is replay-DCE-able under
+    ``jax.checkpoint(policy=save_only_these_names("attn_out", "attn_lse"))``.
+
+    The plain op hides o/lse inside custom_vjp residuals, so a checkpointed
+    backward must RE-RUN the fwd kernel to regenerate them even when the
+    (checkpoint-named) output o itself was saved. Here the kernel runs
+    outside the vjp under stop_gradient, o and lse are checkpoint-named
+    jax-level tensors, and a grafted custom_vjp routes the gradient through
+    explicit (q, k, v, o, lse) inputs — with both names saved, the replayed
+    fwd kernel has no live consumers. lse is (B, H, T) f32: ~0.2% of the
+    activation bytes the policy already saves per attention."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    o, lse = _flash_fwd(
+        lax.stop_gradient(q), lax.stop_gradient(k), lax.stop_gradient(v),
+        sm_scale, block_q, block_k,
+    )
+    o = checkpoint_name(o, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
+    return _graft(q, k, v, o, lse, sm_scale, block_q, block_k,
+                  block_q_bwd, block_k_bwd)
 
 
 def supported(q_shape, k_shape) -> bool:

@@ -104,6 +104,46 @@ def test_flash_bf16_close(interp):
     )
 
 
+def test_flash_remat_grads_and_fwd_dce(interp):
+    """flash_attention_remat under jax.checkpoint with the attn_out/attn_lse
+    save policy: grads match the reference formula AND the fwd kernel runs
+    exactly once in the grad program (the replayed copy is dead code). The
+    plain op re-runs its fwd in the replay to regenerate residuals."""
+    shape = (1, 2, 1024, 40)
+    ks = jax.random.split(jax.random.key(4), 4)
+    q = jax.random.normal(ks[0], shape, jnp.float32)
+    k = jax.random.normal(ks[1], shape, jnp.float32)
+    v = jax.random.normal(ks[2], shape, jnp.float32)
+    ct = jax.random.normal(ks[3], shape, jnp.float32)
+    sm = 1.0 / shape[-1] ** 0.5
+    policy = jax.checkpoint_policies.save_only_these_names("attn_out", "attn_lse")
+
+    def block(q, k, v):
+        return jnp.sum(flash.flash_attention_remat(q, k, v, sm, 256, 256) * ct)
+
+    loss_remat = jax.checkpoint(block, policy=policy)
+    g_ours = jax.grad(loss_remat, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(_ref_attn(q, k, v, sm) * ct), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b, name in zip(g_ours, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+    def count_kernels(fn):
+        jaxpr = jax.make_jaxpr(jax.grad(fn, argnums=(0, 1, 2)))(q, k, v)
+        return str(jaxpr).count("pallas_call")
+
+    assert count_kernels(loss_remat) == 2  # one fwd + one bwd
+    plain = jax.checkpoint(
+        lambda q, k, v: jnp.sum(flash.flash_attention(q, k, v, sm, 256, 256) * ct),
+        policy=policy,
+    )
+    assert count_kernels(plain) == 3  # fwd + replayed fwd + bwd — the quirk removed
+
+
 def test_supported_gate():
     assert flash.supported((8, 8, 4096, 40), (8, 8, 4096, 40))
     assert not flash.supported((8, 8, 4096, 40), (8, 8, 77, 40))  # cross-attn

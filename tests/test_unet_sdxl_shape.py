@@ -67,3 +67,33 @@ def test_sdxl_topology_lokr_wrap(rng):
     out = net(variables, x, t, ctx, added)
     base = model.apply(variables, x, t, ctx, added)
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("tier", ["attn_out", "attn_ff", "attn_ff_norm"])
+def test_remat_tiers_match_no_remat_grads(rng, tier):
+    """Named-save remat tiers are a pure memory/recompute trade: loss and
+    grads must equal the no-remat graph bit-for-bit-ish at fp32."""
+    x = jnp.linspace(-1, 1, 2 * 4 * 16 * 16).reshape(2, 4, 16, 16)
+    t = jnp.zeros((2,), jnp.int32)
+    ctx = jnp.linspace(0, 1, 2 * 6 * 32).reshape(2, 6, 32)
+    added = jnp.ones((2, 16))
+
+    def loss_fn(cfg_remat):
+        cfg = dataclasses.replace(_sdxl_tiny(), remat=cfg_remat)
+        model = UNet2DConditionModel(cfg)
+        variables = model.init(rng, x, t, ctx, added)
+
+        def loss(params):
+            out = model.apply({"params": params}, x, t, ctx, added)
+            return jnp.mean(out**2)
+
+        params = variables["params"]
+        return jax.jit(jax.value_and_grad(loss))(params)
+
+    l0, g0 = loss_fn(False)
+    l1, g1 = loss_fn(tier)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
