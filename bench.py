@@ -58,9 +58,11 @@ def run_case(use_sdxl: bool, algo: str, batch: int, iters: int):
     merged = os.environ.get("BENCH_MERGED", "1") == "1"
     # defaults: SD1.5 fits batch 8 without remat once flash attention frees
     # the T^2 activations; SDXL remats transformer blocks but saves each
-    # attention output ("attn_out" policy — bwd never re-runs the flash fwd;
-    # measured b4@1024px: 1.1648 -> 1.1958 steps/s vs plain transformer remat)
-    remat_env = os.environ.get("BENCH_REMAT", "attn_out" if use_sdxl else "0")
+    # attention output/lse + the ff and to_out outputs ("attn_ff" tier —
+    # the replay skips the flash fwd kernel and those matmuls; measured
+    # b4@1024px: attn_out 1.207 < attn_ff 1.261 > attn_ff_norm 1.242,
+    # attn_ff_geglu 1.206)
+    remat_env = os.environ.get("BENCH_REMAT", "attn_ff" if use_sdxl else "0")
     remat = {"0": False, "1": True, "transformer": "transformer"}.get(remat_env, remat_env)
     if use_sdxl:
         cfg = sdxl_config(dtype=jnp.bfloat16, remat=remat)

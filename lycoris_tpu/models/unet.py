@@ -156,6 +156,9 @@ class FeedForward(nn.Module):
         h = h * jax.nn.gelu(gate)
         from jax.ad_checkpoint import checkpoint_name
 
+        # "geglu_out" (4C·T — the block's biggest saveable): replay skips the
+        # gelu+multiply recompute and net_2's dW reads the saved tensor
+        h = checkpoint_name(h, "geglu_out")
         return checkpoint_name(L.Linear(self.dim, name="net_2")(h), "ff_out")
 
 
@@ -292,6 +295,13 @@ class UNet2DConditionModel(nn.Module):
             "attn_ff": ("attn_out", "attn_lse", "ff_out", "attn_proj_out"),
             "attn_ff_norm": (
                 "attn_out", "attn_lse", "ff_out", "attn_proj_out", "norm_out"
+            ),
+            "attn_ff_geglu": (
+                "attn_out", "attn_lse", "ff_out", "attn_proj_out", "geglu_out"
+            ),
+            "attn_ff_norm_geglu": (
+                "attn_out", "attn_lse", "ff_out", "attn_proj_out", "norm_out",
+                "geglu_out",
             ),
         }
         if cfg.remat in _TIERS:

@@ -69,7 +69,9 @@ def test_sdxl_topology_lokr_wrap(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("tier", ["attn_out", "attn_ff", "attn_ff_norm"])
+@pytest.mark.parametrize(
+    "tier", ["attn_out", "attn_ff", "attn_ff_norm", "attn_ff_norm_geglu"]
+)
 def test_remat_tiers_match_no_remat_grads(rng, tier):
     """Named-save remat tiers are a pure memory/recompute trade: loss and
     grads must equal the no-remat graph bit-for-bit-ish at fp32."""
