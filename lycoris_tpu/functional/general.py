@@ -311,7 +311,19 @@ def group_norm(x: jax.Array, num_groups: int, weight=None, bias=None, eps: float
     (A Pallas multi-kernel GN exists in ops/group_norm.py but measured
     SLOWER in-train — SD1.5 5.79→5.01 steps/s — because its custom-call
     boundaries stop XLA from fusing the surrounding silu/conv epilogues
-    into the norm chain; this jnp form stays the production path.)"""
+    into the norm chain; this jnp form stays the production path.)
+
+    ``LYCORIS_TPU_GN=dots`` switches the statistics to MXU dot_generals
+    (ops/group_norm.py group_norm_dots): same math, but the per-channel
+    spatial sums ride the matrix unit instead of XLA's reduce loops, which
+    profile at 21-63 GB/s on the SDXL HWNC conv layouts."""
+    import os as _os
+
+    mode = _os.environ.get("LYCORIS_TPU_GN", "auto")
+    if mode == "dots" and x.ndim >= 3:
+        from ..ops.group_norm import group_norm_dots
+
+        return group_norm_dots(x, num_groups, weight, bias, eps)
     n, c, *spatial = x.shape
     cg = c // num_groups
     sp_axes = tuple(range(2, x.ndim))

@@ -205,6 +205,131 @@ def _gn_bwd(num_groups, eps, res, dy):
 _gn.defvjp(_gn_fwd, _gn_bwd)
 
 
+# ---------------------------------------------------------------------------
+# 'dots' formulation: per-channel sums as MXU dot_generals, elementwise in jnp
+# ---------------------------------------------------------------------------
+#
+# XLA lowers the jnp form's per-channel spatial reductions to VPU reduce
+# loops that profile at 21-63 GB/s on the SDXL conv layouts (HWNC-tiled,
+# T(4,128)) — ~60-70 ms/step across fwd + remat replay + bwd.  Reformulating
+# Σ_s x and Σ_s u·v as dot_generals against a ones matrix moves the reduction
+# onto the MXU, which consumes the activation at matmul input bandwidth.  The
+# elementwise normalize/FMA stays in plain jnp so XLA keeps fusing the
+# surrounding silu/conv epilogues (the reason the all-Pallas GN above lost).
+# Statistics are cached as tiny (N, C) f32 residuals, so the backward only
+# pays the two t-sums and the dx FMA.
+
+_DOT_K = 128
+
+
+def _sums2_dot(u3, v3):
+    """(Σ_s u, Σ_s u·v) per (n, c) via dots with a ones matrix.
+
+    The K=128 redundant output columns cost only MXU flops (free at
+    arithmetic intensity ~1); column 0 is the sum.  bf16 inputs accumulate
+    exactly in f32 on the MXU; f32 inputs use HIGHEST precision (the TPU
+    default would silently round to one bf16 pass)."""
+    n, c, s = u3.shape
+    prec = (
+        None
+        if u3.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    # Activation as the dot's RHS: the UNet's conv activations live in HWNC
+    # layouts (spatial-major, channels-minor), which is exactly the rhs tile
+    # order the MXU wants (K=s in sublanes, n·c in lanes) — no relayout.
+    j = jnp.ones((_DOT_K, s), u3.dtype)
+    dn = (((1,), (2,)), ((), ()))
+    s1 = jax.lax.dot_general(
+        j, u3, dn, precision=prec, preferred_element_type=jnp.float32
+    )
+    s2 = jax.lax.dot_general(
+        j, u3 * v3, dn, precision=prec, preferred_element_type=jnp.float32
+    )
+    # The barrier keeps the algebraic simplifier from pushing the row-0
+    # slice through the dot (which would strip the ones matrix to one row
+    # and lower the whole thing back to the slow VPU reduce).
+    s1, s2 = jax.lax.optimization_barrier((s1, s2))
+    return s1[0], s2[0]
+
+
+def _combine_groups(s1, s2, n, g, cg, cnt, eps):
+    gs1 = jnp.sum(s1.reshape(n, g, cg), axis=2)
+    gs2 = jnp.sum(s2.reshape(n, g, cg), axis=2)
+    mean = gs1 / cnt
+    var = gs2 / cnt - mean * mean
+    return mean, jax.lax.rsqrt(var + eps)
+
+
+def _gn_dots_impl(x, weight, bias, num_groups, eps):
+    n, c, *spatial = x.shape
+    s = math.prod(spatial) if spatial else 1
+    g, cg = num_groups, c // num_groups
+    x3 = x.reshape(n, c, s)
+    s1, s2 = _sums2_dot(x3, x3)
+    mean, rstd = _combine_groups(s1, s2, n, g, cg, cg * s, eps)
+    rep = lambda a: jnp.repeat(a, cg, axis=1)  # (n, g) -> (n, c)
+    scale = rep(rstd)
+    shift = rep(-mean * rstd)
+    w = weight.astype(jnp.float32)[None]
+    scale = scale * w
+    shift = shift * w + bias.astype(jnp.float32)[None]
+    y = (
+        x3.astype(jnp.float32) * scale[:, :, None] + shift[:, :, None]
+    ).astype(x.dtype)
+    return y.reshape(x.shape), (mean, rstd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gn_dots(x, weight, bias, num_groups, eps):
+    return _gn_dots_impl(x, weight, bias, num_groups, eps)[0]
+
+
+def _gn_dots_fwd(x, weight, bias, num_groups, eps):
+    y, (mean, rstd) = _gn_dots_impl(x, weight, bias, num_groups, eps)
+    return y, (x, weight, mean, rstd)
+
+
+def _gn_dots_bwd(num_groups, eps, res, dy):
+    x, weight, mean, rstd = res
+    n, c, *spatial = x.shape
+    s = math.prod(spatial) if spatial else 1
+    g, cg = num_groups, c // num_groups
+    cnt = cg * s
+    x3 = x.reshape(n, c, s)
+    dy3 = dy.reshape(n, c, s)
+    t1, t2 = _sums2_dot(dy3, x3)  # per-channel Σdy, Σdy·x (n, c) f32
+    w = weight.astype(jnp.float32)
+    wt1 = (t1 * w[None]).reshape(n, g, cg).sum(axis=2)
+    wt2 = (t2 * w[None]).reshape(n, g, cg).sum(axis=2)
+    m_dxhat = wt1 / cnt                                  # (n, g)
+    m_dxhat_xhat = (wt2 - mean * wt1) * rstd / cnt       # (n, g)
+    repg = lambda a: jnp.repeat(a, cg, axis=1)           # (n, g) -> (n, c)
+    r_c = repg(rstd)
+    A = r_c * w[None]
+    B = -repg(rstd * rstd * m_dxhat_xhat)
+    C = -r_c * repg(m_dxhat) + repg(mean) * (-B)
+    dx = (
+        dy3.astype(jnp.float32) * A[:, :, None]
+        + x3.astype(jnp.float32) * B[:, :, None]
+        + C[:, :, None]
+    ).astype(x.dtype)
+    dgamma = ((t2 - repg(mean) * t1) * repg(rstd)).sum(axis=0).astype(weight.dtype)
+    dbeta = t1.sum(axis=0)
+    return (dx.reshape(x.shape), dgamma, dbeta)
+
+
+_gn_dots.defvjp(_gn_dots_fwd, _gn_dots_bwd)
+
+
+def group_norm_dots(x, num_groups, weight, bias, eps):
+    """GroupNorm with MXU-dot statistics; None γ/β are substituted with
+    constants (their grads fall on constants and are dropped by autodiff)."""
+    w = jnp.ones((x.shape[1],), jnp.float32) if weight is None else weight
+    b = jnp.zeros((x.shape[1],), jnp.float32) if bias is None else bias
+    return _gn_dots(x, w, b, num_groups, eps)
+
+
 def supported(x_shape, on_tpu: bool) -> bool:
     if os.environ.get("LYCORIS_TPU_FUSED_NORMS", "auto") == "off":
         return False

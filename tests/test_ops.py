@@ -148,6 +148,49 @@ def test_fused_layer_norm(interpret_pallas, shape, bias):
     [
         ((2, 320, 16, 16), 32, True),   # SD resnet GN
         ((2, 64, 8, 8), 8, True),
+        ((3, 96, 32), 4, False),        # conv1d activation
+    ],
+)
+def test_group_norm_dots(shape, groups, bias):
+    """MXU-dot-statistics GroupNorm (ops/group_norm.py group_norm_dots)
+    matches the jnp reference in values and all grads."""
+    from lycoris_tpu.ops.group_norm import group_norm_dots
+    from lycoris_tpu.functional import general
+
+    n, c = shape[:2]
+    k = jax.random.key(11)
+    x = 2.0 * jax.random.normal(jax.random.fold_in(k, 1), shape) + 0.5
+    w = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(k, 2), (c,))
+    b = 0.1 * jax.random.normal(jax.random.fold_in(k, 3), (c,)) if bias else None
+    g = jax.random.normal(jax.random.fold_in(k, 4), shape)
+    eps = 1e-5
+
+    ref = general.group_norm(x, groups, w, b, eps)
+    got = group_norm_dots(x, groups, w, b, eps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    args = (x, w, b) if bias else (x, w)
+
+    def loss_dots(*a):
+        bb = a[2] if bias else None
+        return jnp.sum(group_norm_dots(a[0], groups, a[1], bb, eps) * g)
+
+    def loss_ref(*a):
+        bb = a[2] if bias else None
+        return jnp.sum(general.group_norm(a[0], groups, a[1], bb, eps) * g)
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(len(args))))(*args)
+    gd = jax.grad(loss_dots, argnums=tuple(range(len(args))))(*args)
+    for a, bgrad in zip(gr, gd):
+        np.testing.assert_allclose(np.asarray(bgrad), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "shape,groups,bias",
+    [
+        ((2, 320, 16, 16), 32, True),   # SD resnet GN
+        ((2, 64, 8, 8), 8, True),
         ((3, 96, 32, 8), 4, False),
     ],
 )
