@@ -27,6 +27,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _dw1(spec_batched, a, b):
+    """dW1-style contraction ``(n,p,k),(n,q,k)->(p,q)``.
+
+    The direct einsum contracts the NON-ADJACENT (n, k) pair, so XLA lays
+    the two rank-3 operands out n-minor for the dot — inserting HBM relayout
+    copies of both (profiled ~19 ms/step of [4096,8,160] copies/reshapes on
+    SDXL LoKr). The batched form (batch n, contract k, ``->npq``) keeps every
+    operand in the n-row-major layout its producer already has; the (n,p,q)
+    intermediate is tiny (p,q ≤ kron factor ~8-32) and the n-sum fuses.
+    ``LYCORIS_TPU_LOKR_DW1=batched`` selects the batched form (opt-in
+    until the in-train SDXL measurement lands)."""
+    import os
+
+    if os.environ.get("LYCORIS_TPU_LOKR_DW1", "flat") == "flat":
+        return _e(spec_batched.replace("->n", "->"), a, b)
+    return _e(spec_batched, a, b).sum(0)
+
+
 def _e(spec, *ops):
     """f32-accumulating einsum, bf16 operands when any input is bf16.
 
@@ -140,7 +158,7 @@ def lokr_dtheta(x2d, dy2d, w1_full, w2_full, w2_ab=None, want_scalar=False):
         a_f, b_f = w2_ab  # A (u, r), B (r, v)
         s = _e("nqv,rv->nqr", x3, b_f)
         t = _e("npu,ur->npr", dy3, a_f)
-        dW1 = _e("npr,nqr->pq", t, s)
+        dW1 = _dw1("npr,nqr->npq", t, s)
         qs = _e("pq,nqr->npr", w1_full, s)
         dA = _e("npu,npr->ur", dy3, qs)
         m = _e("pq,npr->nqr", w1_full, t)
@@ -150,13 +168,13 @@ def lokr_dtheta(x2d, dy2d, w1_full, w2_full, w2_ab=None, want_scalar=False):
 
     if v <= u:  # pivot on the in side: (n, p, v) intermediates
         P = _e("npu,uv->npv", dy3, w2_full)
-        dW1 = _e("npv,nqv->pq", P, x3)
+        dW1 = _dw1("npv,nqv->npq", P, x3)
         Q = _e("pq,nqv->npv", w1_full, x3)
         dW2 = _e("npu,npv->uv", dy3, Q)
         d_scalar = jnp.sum(P * Q) if want_scalar else None
     else:  # pivot on the out side: (n, q, u) intermediates
         U = _e("nqv,uv->nqu", x3, w2_full)
-        dW1 = _e("npu,nqu->pq", dy3, U)
+        dW1 = _dw1("npu,nqu->npq", dy3, U)
         R = _e("pq,npu->nqu", w1_full, dy3)
         dW2 = _e("nqu,nqv->uv", R, x3)
         d_scalar = jnp.sum(U * R) if want_scalar else None

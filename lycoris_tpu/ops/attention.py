@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 
 
 def _on_tpu() -> bool:
@@ -94,6 +95,17 @@ def dot_product_attention(q, k, v, layout="BTHD"):
             else:
                 bq = 256 if d <= 48 else 512
                 bk, bqb, bkb = 512, bq, 1024
+            if os.environ.get("LYCORIS_TPU_FLASH_DT", "0") == "1":
+                # D-major kernel: operands pass (B, H, D, T) — the logical
+                # swap matches the T-minor layout the head-split projections
+                # physically emit, so the custom-call boundary needs no HBM
+                # relayout copies (x306/step on SDXL, ~18 ms)
+                tr = lambda x: jnp.swapaxes(to_bhtd(x), -1, -2)
+                o_t = flash.flash_attention_remat_dt(
+                    tr(q), tr(k), tr(v), sm_scale, block_q=bq, block_k=bk,
+                    block_q_bwd=bqb, block_k_bwd=bkb,
+                )
+                return o_t.transpose(0, 3, 1, 2)
             # remat variant: o/lse are checkpoint-named so the fwd kernel is
             # dead code in a checkpoint replay under the "attn_out"+"attn_lse"
             # save policy (models/unet.py remat="attn_out")

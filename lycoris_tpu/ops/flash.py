@@ -113,6 +113,79 @@ def _fwd(q, k, v, sm_scale, block_q, block_k, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# forward, D-major ("dt") operands — (BH, D, T) in, (BH, D, T) out
+# ---------------------------------------------------------------------------
+#
+# The SDXL qkv head-split einsums physically emit T-minor layouts (tokens in
+# lanes); the standard kernel's custom-call boundary pins its operands to
+# D-minor, so XLA inserts ~18 ms/step of HBM relayout copies (x306/step at
+# [4,20,1024,64]). These variants take the operands with D and T swapped
+# LOGICALLY — the jax-level transpose then matches the producer's physical
+# layout and folds into a bitcast. Work runs k-row (S and P as [bk, bq]):
+# softmax max/sum become sublane-axis reductions and the kq / pv / dq dots
+# are MXU-native orientations (contraction on sublanes).
+
+
+def _fwd_dt_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, s_scr, *, sm_scale, block_k):
+    qi = pl.program_id(1)
+    q = q_ref[0]  # [d, bq]
+    t = k_ref.shape[-1]
+    nk = t // block_k
+    # pass A: all logits for this q-block into VMEM scratch ([t, bq], k-row),
+    # tracking the true per-q max (axis 0 = sublanes)
+    m = None
+    for j in range(nk):
+        k = k_ref[0, :, j * block_k:(j + 1) * block_k]  # [d, bk]
+        s = lax.dot_general(k, q, _TN, preferred_element_type=jnp.float32)
+        s *= sm_scale  # [bk, bq]
+        s_scr[j * block_k:(j + 1) * block_k, :] = s
+        mj = jnp.max(s, axis=0, keepdims=True)  # [1, bq]
+        m = mj if m is None else jnp.maximum(m, mj)
+    # pass B: one exp with the true max; accumulate V·P and the column sum
+    acc = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)  # [d, bq]
+    l = jnp.zeros((1, q.shape[1]), jnp.float32)
+    for j in range(nk):
+        p = jnp.exp(s_scr[j * block_k:(j + 1) * block_k, :] - m)  # [bk, bq]
+        l += jnp.sum(p, axis=0, keepdims=True)
+        v = v_ref[0, :, j * block_k:(j + 1) * block_k]  # [d, bk]
+        acc += lax.dot_general(
+            v, p.astype(v.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    bq = q.shape[1]
+    lse_ref[0, 0, pl.dslice(qi * bq, bq)] = (m + jnp.log(l)).reshape(-1)
+
+
+def _fwd_dt(q, k, v, sm_scale, block_q, block_k, interpret=False):
+    bh, d, t = q.shape
+    bq = _pick(t, block_q)
+    bk = _pick(t, block_k)
+    grid = (bh, t // bq)
+    kv_spec = pl.BlockSpec((1, d, t), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_dt_kernel, sm_scale=sm_scale, block_k=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            kv_spec,
+            kv_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, d, t), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((t, bq), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
 # backward — one fused pass (dq, dk, dv), transposed (k-row) layout
 # ---------------------------------------------------------------------------
 
@@ -183,6 +256,80 @@ def _bwd_call(q, k, v, do, lse, di, sm_scale, block_q, block_k, interpret=False)
             jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, t, d), q.dtype),
             jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, do, lse, di)
+    return dq.astype(q.dtype), dk, dv
+
+
+def _bwd_dt_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, sm_scale, block_q,
+):
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    k = k_ref[0]  # [d, bk]
+    v = v_ref[0]
+    t = q_ref.shape[-1]
+    d = q_ref.shape[1]
+    bk = k.shape[-1]
+    dk_acc = jnp.zeros((d, bk), jnp.float32)
+    dv_acc = jnp.zeros((d, bk), jnp.float32)
+    for j in range(t // block_q):
+        sl = pl.dslice(j * block_q, block_q)
+        q = q_ref[0, :, sl]       # [d, bq]
+        do = do_ref[0, :, sl]
+        lse = lse_ref[0, 0, sl].reshape(1, -1)   # [1, bq] — lane broadcast
+        di = di_ref[0, 0, sl].reshape(1, -1)
+        s_t = lax.dot_general(k, q, _TN, preferred_element_type=jnp.float32)
+        p_t = jnp.exp(s_t * sm_scale - lse)   # normalized probs [bk, bq]
+        pb = p_t.astype(do.dtype)
+        # dv_t = dO_t · P_tᵀ  (contract q)
+        dv_acc += lax.dot_general(
+            do, pb, _NT, preferred_element_type=jnp.float32
+        )
+        # dP_t = V_tᵀ · dO_t  (contract d, MXU-native)
+        dp_t = lax.dot_general(v, do, _TN, preferred_element_type=jnp.float32)
+        ds_t = (dp_t - di) * p_t * sm_scale
+        dsb = ds_t.astype(q.dtype)
+        # dk_t = Q_t · dS_tᵀ  (contract q)
+        dk_acc += lax.dot_general(
+            q, dsb, _NT, preferred_element_type=jnp.float32
+        )
+        # dq_t[:, j-block] += K_t · dS_t  (contract k, MXU-native)
+        dq_ref[0, :, sl] += lax.dot_general(
+            k, dsb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _bwd_dt_call(q, k, v, do, lse, di, sm_scale, block_q, block_k, interpret=False):
+    bh, d, t = q.shape
+    bq = _pick(t, block_q)
+    bk = _pick(t, block_k)
+    grid = (bh, t // bk)
+    res_spec = pl.BlockSpec((1, d, t), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, 1, t), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, d, bk), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dt_kernel, sm_scale=sm_scale, block_q=bq),
+        grid=grid,
+        in_specs=[res_spec, kv_spec, kv_spec, res_spec, vec_spec, vec_spec],
+        out_specs=[
+            pl.BlockSpec((1, d, t), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            kv_spec,
+            kv_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, d, t), jnp.float32),
+            jax.ShapeDtypeStruct((bh, d, t), q.dtype),
+            jax.ShapeDtypeStruct((bh, d, t), q.dtype),
         ],
         interpret=interpret,
     )(q, k, v, do, lse, di)
@@ -297,6 +444,72 @@ def flash_attention_remat(q, k, v, sm_scale, block_q=256, block_k=512,
     lse = checkpoint_name(lse, "attn_lse")
     return _graft(q, k, v, o, lse, sm_scale, block_q, block_k,
                   block_q_bwd, block_k_bwd)
+
+
+# ---------------------------------------------------------------------------
+# D-major public op (operands logically (B, H, D, T))
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_dt(q, k, v, sm_scale, block_q, block_k):
+    b, h, d, t = q.shape
+    o, lse = _fwd_dt(
+        q.reshape(b * h, d, t), k.reshape(b * h, d, t), v.reshape(b * h, d, t),
+        sm_scale, block_q, block_k, interpret=_INTERPRET,
+    )
+    return o.reshape(b, h, d, t), lse.reshape(b, h, t)
+
+
+def _bwd_dt_from_res(res, g, sm_scale, block_q, block_k, block_q_bwd, block_k_bwd):
+    q, k, v, o, lse = res
+    b, h, d, t = q.shape
+    # di = colsum(dO_t ∘ O_t): reduction over d (sublanes)
+    di = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=2)
+    dq, dk, dv = _bwd_dt_call(
+        q.reshape(b * h, d, t), k.reshape(b * h, d, t), v.reshape(b * h, d, t),
+        g.reshape(b * h, d, t), lse.reshape(b * h, 1, t), di.reshape(b * h, 1, t),
+        sm_scale, block_q_bwd or block_q, block_k_bwd or block_k,
+        interpret=_INTERPRET,
+    )
+    rs = lambda x: x.reshape(b, h, d, t)
+    return rs(dq), rs(dk), rs(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _graft_dt(q, k, v, o, lse, sm_scale, block_q, block_k, block_q_bwd, block_k_bwd):
+    return o
+
+
+def _graft_dt_fwd(q, k, v, o, lse, sm_scale, block_q, block_k, block_q_bwd, block_k_bwd):
+    return o, (q, k, v, o, lse)
+
+
+def _graft_dt_bwd(sm_scale, block_q, block_k, block_q_bwd, block_k_bwd, res, g):
+    dq, dk, dv = _bwd_dt_from_res(res, g, sm_scale, block_q, block_k,
+                                  block_q_bwd, block_k_bwd)
+    return dq, dk, dv, jnp.zeros_like(res[3]), jnp.zeros_like(res[4])
+
+
+_graft_dt.defvjp(_graft_dt_fwd, _graft_dt_bwd)
+
+
+def flash_attention_remat_dt(q, k, v, sm_scale, block_q=256, block_k=512,
+                             block_q_bwd=None, block_k_bwd=None):
+    """D-major ``flash_attention_remat``: q/k/v and o are (B, H, D, T).
+
+    Same replay-DCE graft as :func:`flash_attention_remat`; operand and
+    result tensors keep tokens in the minor (lane) dimension so the
+    projection matmuls on both sides connect without HBM relayout copies."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    o, lse = _flash_fwd_dt(
+        lax.stop_gradient(q), lax.stop_gradient(k), lax.stop_gradient(v),
+        sm_scale, block_q, block_k,
+    )
+    o = checkpoint_name(o, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
+    return _graft_dt(q, k, v, o, lse, sm_scale, block_q, block_k,
+                     block_q_bwd, block_k_bwd)
 
 
 def supported(q_shape, k_shape) -> bool:

@@ -149,3 +149,41 @@ def test_supported_gate():
     assert not flash.supported((8, 8, 4096, 40), (8, 8, 77, 40))  # cross-attn
     assert not flash.supported((8, 8, 512, 40), (8, 8, 512, 40))  # short seq
     assert not flash.supported((8, 8, 4096, 160), (8, 8, 4096, 160))  # big d
+
+
+@pytest.mark.parametrize("shape", [(1, 2, 1024, 40), (2, 1, 1024, 64)])
+def test_flash_dt_remat_matches_reference(interp, shape):
+    """D-major variant (operands (B, H, D, T)): fwd values and all grads
+    match the reference formula; fwd kernel is replay-DCE'd like the
+    standard remat op."""
+    b, h, t, d = shape
+    ks = jax.random.split(jax.random.key(7), 4)
+    q = jax.random.normal(ks[0], shape, jnp.float32)
+    k = jax.random.normal(ks[1], shape, jnp.float32)
+    v = jax.random.normal(ks[2], shape, jnp.float32)
+    ct = jax.random.normal(ks[3], shape, jnp.float32)
+    sm = 1.0 / d**0.5
+    tr = lambda x: jnp.swapaxes(x, -1, -2)
+
+    got = tr(flash.flash_attention_remat_dt(tr(q), tr(k), tr(v), sm, 256, 256))
+    want = _ref_attn(q, k, v, sm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+    policy = jax.checkpoint_policies.save_only_these_names("attn_out", "attn_lse")
+
+    def block(q, k, v):
+        o_t = flash.flash_attention_remat_dt(tr(q), tr(k), tr(v), sm, 256, 256)
+        return jnp.sum(tr(o_t) * ct)
+
+    loss_remat = jax.checkpoint(block, policy=policy)
+    g_ours = jax.grad(loss_remat, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(_ref_attn(q, k, v, sm) * ct), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b_, name in zip(g_ours, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
+    jaxpr = jax.make_jaxpr(jax.grad(loss_remat, argnums=(0, 1, 2)))(q, k, v)
+    assert str(jaxpr).count("pallas_call") == 2  # one fwd + one bwd
