@@ -35,12 +35,33 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=op_precision(a, b))
 
 
-def make_kron(w1: jax.Array, w2: jax.Array, scale=1.0) -> jax.Array:
-    """scale * (w1 ⊗ w2), with w1 broadcast over w2's trailing (spatial) dims."""
+def make_kron(w1: jax.Array, w2: jax.Array, scale=1.0, out_dtype=None) -> jax.Array:
+    """scale * (w1 ⊗ w2), with w1 broadcast over w2's trailing (spatial) dims.
+
+    ``scale`` is folded into the SMALL factor (w1) before the outer product —
+    a (p, q)-sized multiply instead of a full ΔW-sized pass after it.
+
+    ``out_dtype`` casts the block outer product BEFORE the final (p·u, q·v)
+    reshape. That reshape's minor dim q·v is rarely lane-aligned, so whatever
+    dtype crosses it gets materialized + relaid-out in HBM; in bf16 training
+    the f32 reconstruction otherwise parks a full-precision ΔW copy there
+    (52 MB for SDXL's [10240,1280] ff weight) that every consumer matmul then
+    re-reads and down-casts. Casting here is numerically identical to the
+    consumer-side ``astype`` it replaces — the multiply math stays f32.
+    """
     for _ in range(w2.ndim - w1.ndim):
         w1 = w1[..., None]
-    rebuild = jnp.kron(w1, w2)
-    return rebuild * scale
+    if isinstance(scale, (int, float)) and scale == 1.0:
+        pass
+    else:
+        w1 = w1 * scale
+    p, q = w1.shape[:2]
+    u, v = w2.shape[:2]
+    spatial = w2.shape[2:]
+    prod = w1.reshape(p, 1, q, 1, *w1.shape[2:]) * w2.reshape(1, u, 1, v, *spatial)
+    if out_dtype is not None:
+        prod = prod.astype(out_dtype)
+    return prod.reshape(p * u, q * v, *spatial)
 
 
 def weight_gen(

@@ -74,8 +74,9 @@ def factored_merged_apply(x, w, b, theta, *, recon_fn, dtheta_fn, apply_fn,
                           dx_fn, dy2d_fn):
     """``apply_fn(x, w + recon_fn(theta), b)`` with a factored backward.
 
-    - ``recon_fn(theta) -> ΔW`` (fp32-precision reconstruction; recomputed
-      in the backward instead of cached — one cheap recon + W-sized add).
+    - ``recon_fn(theta, out_dtype=None) -> ΔW`` (fp32-precision
+      reconstruction emitted in ``out_dtype``; recomputed in the backward
+      instead of cached — one cheap recon + W-sized add).
     - ``dtheta_fn(x2d, dy2d, theta) -> dθ`` — exact reordering of
       ``VJP(recon)(xᵀ·dy)`` that avoids the dense product.
     - ``apply_fn(x, w_eff, b) -> y`` — the layer op (plain linear or the
@@ -87,18 +88,25 @@ def factored_merged_apply(x, w, b, theta, *, recon_fn, dtheta_fn, apply_fn,
     and ``b`` are zeros (frozen base — the trainer differentiates only θ).
     """
 
+    # recon emits ΔW already in w's dtype (recon_fn's out_dtype): the f32
+    # reconstruction math otherwise parks a full-precision ΔW in HBM at the
+    # kron/matmul reshape boundary and every consumer re-reads + re-casts it
+    # (profiled f32[10240,1280] operands on the SDXL ff dx fusions). The
+    # consumer-side astype calls below become no-ops; in f32 (CPU tests,
+    # merge tools) nothing changes.
+
     @jax.custom_vjp
     def f(x, w, b, theta):
-        w_eff = w + recon_fn(theta)  # f32 add, cast inside apply_fn
+        w_eff = w + recon_fn(theta, w.dtype)
         return apply_fn(x, w_eff, b)
 
     def fwd(x, w, b, theta):
-        w_eff = w + recon_fn(theta)  # f32 add, cast inside apply_fn
+        w_eff = w + recon_fn(theta, w.dtype)
         return apply_fn(x, w_eff, b), (x, w, b, theta)
 
     def bwd(res, g):
         x, w, b, theta = res
-        w_eff = w + recon_fn(theta)  # f32 add, cast inside apply_fn
+        w_eff = w + recon_fn(theta, w.dtype)
         dx = dx_fn(g, w_eff)
         x2d = x.reshape(-1, x.shape[-1])
         dy2d = dy2d_fn(g)

@@ -245,11 +245,15 @@ class LoConModule(LycorisBaseModule):
 
         c = self.scale * multiplier
 
-        def recon_fn(theta):
-            wa = self._p(theta, "lora_up.weight")
+        def recon_fn(theta, out_dtype=None):
+            # scale·scalar folded into the (out, r) up factor — an r-column
+            # multiply instead of a full (out, in) pass; out_dtype lets the
+            # cast fuse into the matmul epilogue so bf16 training never
+            # materializes the f32 ΔW.
+            wa = self._p(theta, "lora_up.weight") * (self._p(theta, "scalar") * c)
             wb = self._p(theta, "lora_down.weight")
             w = jnp.matmul(wa, wb, precision=op_precision(wa, wb))
-            return w * (self._p(theta, "scalar") * c)
+            return w if out_dtype is None else w.astype(out_dtype)
 
         want_scalar = "scalar" in self.trainable
 

@@ -373,9 +373,13 @@ class LokrModule(LycorisBaseModule):
             return None
         from ..functional.merged import lokr_dtheta
 
-        def recon_fn(theta):
-            w = make_kron(self._rebuild_w1(theta), self._rebuild_w2(theta), self.scale)
-            return w * (self._p(theta, "scalar") * multiplier)
+        def recon_fn(theta, out_dtype=None):
+            # scalar·multiplier folded into the small w1 factor (free) so no
+            # full ΔW-sized multiply pass runs after the kron; out_dtype casts
+            # pre-reshape (see make_kron) so bf16 training never materializes
+            # the f32 ΔW.
+            w1 = self._rebuild_w1(theta) * (self._p(theta, "scalar") * multiplier)
+            return make_kron(w1, self._rebuild_w2(theta), self.scale, out_dtype=out_dtype)
 
         want_scalar = "scalar" in self.trainable
 
