@@ -114,6 +114,31 @@ def test_lokr_factored_grads(decompose_both, full_matrix, apply_kind):
     _compare(m, apply_kind=apply_kind)
 
 
+@pytest.mark.parametrize("decompose_both", [False, True])
+@pytest.mark.parametrize("full_matrix", [False, True])
+def test_lokr_dw1_batched_matches_flat(monkeypatch, decompose_both, full_matrix):
+    """LYCORIS_TPU_LOKR_DW1=batched (n-batched dW1 contraction + n-sum,
+    merged.py _dw1) is an exact reordering of the flat (n,k)-contracted
+    einsum — factored grads must agree across all w1 decomposition combos."""
+    dim = 1 if decompose_both else 2
+    m = _noise(LokrModule("t", LI, lora_dim=dim, alpha=2, factor=4,
+                          decompose_both=decompose_both,
+                          full_matrix=full_matrix, rng=jax.random.key(0)))
+    x = jax.random.normal(jax.random.key(1), (3, 5, IN), jnp.float32)
+    ct = jax.random.normal(jax.random.key(2), (3, 5, OUT), jnp.float32)
+
+    monkeypatch.setenv("LYCORIS_TPU_LOKR_DW1", "flat")
+    _, g_flat = _grads(m, 0.7, x, ct, True)
+    monkeypatch.setenv("LYCORIS_TPU_LOKR_DW1", "batched")
+    _, g_bat = _grads(m, 0.7, x, ct, True)
+    assert g_flat.keys() == g_bat.keys() and g_flat
+    for k in g_flat:
+        np.testing.assert_allclose(
+            np.asarray(g_flat[k]), np.asarray(g_bat[k]), rtol=2e-4, atol=1e-6,
+            err_msg=f"dw1 batched/flat mismatch for {k}",
+        )
+
+
 def test_lokr_use_scalar_grads():
     m = _noise(LokrModule("t", LI, lora_dim=2, alpha=2, factor=4,
                           use_scalar=True, rng=jax.random.key(0)))

@@ -20,6 +20,10 @@ timeout 3000 python bench_dt.py 2>&1 | grep -v WARNING | tee -a /tmp/bench_resul
 /tmp/run_bench.sh BENCH_SDXL=1 LYCORIS_TPU_FLASH_DT=1
 /tmp/run_bench.sh BENCH_SDXL=1 LYCORIS_TPU_LOKR_DW1=batched
 
+# 3a. stacked leg: all three candidates together (interaction check — the
+#     per-flag legs attribute, this one is the shippable operating point)
+/tmp/run_bench.sh BENCH_SDXL=1 LYCORIS_TPU_GN=dots LYCORIS_TPU_FLASH_DT=1 LYCORIS_TPU_LOKR_DW1=batched
+
 # 3b. LoHa SDXL leg for the record (BASELINE names "SDXL LoKr/LoHa")
 /tmp/run_bench.sh BENCH_SDXL=1 BENCH_ALGO=loha
 
