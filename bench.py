@@ -109,52 +109,128 @@ def run_case(use_sdxl: bool, algo: str, batch: int, iters: int):
     print("[bench] compiling + warmup...", file=sys.stderr)
     steps_per_sec, loss = tr.benchmark(batch_data, rng, warmup=3, iters=iters)
 
-    # FLOPs probe for the baseline derivation: count the step WITHOUT remat
-    # (remat recompute would inflate the SDXL step's FLOPs and overstate our
-    # derived advantage) via an abstract lowering — never executed, so the
-    # no-remat SDXL graph can't OOM. lowered (pre-optimization) counts keep
-    # both legs on the same basis.
-    flops = None
-    try:
-        if use_sdxl:
-            cfg2 = sdxl_config(dtype=jnp.bfloat16, remat=False)
-        else:
-            cfg2 = sd15_config(dtype=jnp.bfloat16, remat=False)
-        model2 = UNet2DConditionModel(cfg2)
-        # same params/adapters; device_put aliases the existing replicated
-        # arrays so this costs no extra HBM
-        tr2 = DiffusionTrainer(model2, variables, net, lr=1e-4, mesh=mesh,
-                               weight_dtype=jnp.bfloat16, merged_forward=merged)
-        # probe at batch 1: this backend enforces HBM limits at COMPILE time
-        # and the no-remat SDXL graph at the bench batch exceeds 16 GB; the
-        # derivation only needs per-example FLOPs
-        probe_batch = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct((1, *x.shape[1:]), x.dtype), batch_data
-        )
-        abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-            (tr2.adapter_params, tr2.adapter_buffers, tr2.opt_state,
-             tr2.base_params, probe_batch, rng),
-        )
-        lowered = tr2._step_fn.lower(*abstract)
-        try:
-            # pre-optimization counts (no backend compile — the no-remat
-            # graph need not fit or even compile on this chip)
-            cost = lowered.cost_analysis()
-        except Exception:
-            cost = lowered.compile().cost_analysis()
-        if cost:
-            flops = (float(cost.get("flops", 0.0)) or None)
-            if flops:
-                flops *= batch  # report per-step at the bench batch
-        del tr2, model2
-    except Exception as e:  # cost model optional; derivation falls back
-        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
-
     # free everything before the next case (SDXL needs the whole 16 GB)
     del tr, net, graph, variables, model
     gc.collect()
-    return steps_per_sec, flops
+    return steps_per_sec
+
+
+def _probe_case_flops(use_sdxl: bool, algo: str) -> float:
+    """Per-EXAMPLE train-step FLOPs (batch 1, remat=False) via pre-optimization
+    ``lowered.cost_analysis()``. Runs on the CPU backend (see
+    ``flops_ratio_live``): the axon TPU backend's pre-opt cost model returns
+    None, and post-compile counting would require actually compiling the
+    no-remat SDXL graph on-chip (compile-time HBM gate trips >16 GB).
+    remat=False keeps both legs on the same basis — remat recompute would
+    inflate the SDXL count and overstate the derived advantage."""
+    from lycoris_tpu import LycorisNetwork, ModelGraph, create_lycoris
+    from lycoris_tpu.models.unet import UNet2DConditionModel, sd15_config, sdxl_config
+    from lycoris_tpu.parallel import sharding as shd
+    from lycoris_tpu.trainer import DiffusionTrainer
+
+    LycorisNetwork.reset_preset()
+    cfg = (sdxl_config if use_sdxl else sd15_config)(dtype=jnp.bfloat16, remat=False)
+    latent_hw = 128 if use_sdxl else 64
+    model = UNet2DConditionModel(cfg)
+    rng = jax.random.key(0)
+    latents = jnp.zeros((1, 4, latent_hw, latent_hw), jnp.bfloat16)
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, cfg.context_dim), jnp.bfloat16)
+    variables = jax.eval_shape(model.init, rng, latents, t, ctx)
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+        variables,
+    )
+    graph = ModelGraph.from_linen(model, variables, latents, t, ctx)
+    LycorisNetwork.apply_preset({"target_module": ["Transformer2DModel"]})
+    net = create_lycoris(graph, 1.0, linear_dim=8, linear_alpha=4.0,
+                         algo=algo, factor=8, rng=rng)
+    LycorisNetwork.reset_preset()
+    tr = DiffusionTrainer(model, variables, net, lr=1e-4, mesh=shd.make_mesh(),
+                          weight_dtype=jnp.bfloat16,
+                          merged_forward=os.environ.get("BENCH_MERGED", "1") == "1",
+                          auto_layout=False)
+    batch_data = {"latents": latents, "context": ctx}
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        (tr.adapter_params, tr.adapter_buffers, tr.opt_state,
+         tr.base_params, batch_data, rng),
+    )
+    cost = tr._step_fn.lower(*abstract).cost_analysis()
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    if flops <= 0:
+        raise RuntimeError(f"cost_analysis returned no flops: {cost!r}")
+    del tr, net, graph, variables, model
+    gc.collect()
+    return flops
+
+
+def flops_ratio_live(algo: str):
+    """SDXL/SD1.5 per-example step-FLOPs ratio, measured live.
+
+    Probes run in a scrubbed-env CPU subprocess (JAX_PLATFORMS alone can't
+    override the self-registering axon plugin — same re-exec recipe as
+    ``__graft_entry__.dryrun_multichip``); pure abstract lowering, nothing
+    executes. Cached in /tmp for the repeated-bench case. Returns
+    (ratio, source) — (FALLBACK_FLOPS_RATIO, "fallback_constant") only if the
+    subprocess fails."""
+    import subprocess
+
+    cache = f"/tmp/lycoris_flops_probe_{algo}.json"
+    try:
+        with open(cache) as f:
+            d = json.load(f)
+        return d["ratio"], d["source"]
+    except Exception:
+        pass
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["LYCORIS_FORCE_CPU"] = "1"
+    env["BENCH_FLOPS_PROBE"] = "1"
+    env["BENCH_ALGO"] = algo
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.join(here, "bench.py")],
+            env=env, cwd=here, capture_output=True, text=True, timeout=1500,
+        )
+        line = res.stdout.strip().splitlines()[-1]
+        d = json.loads(line)
+        ratio = d["sdxl_flops_per_example"] / d["sd15_flops_per_example"]
+        out = {"ratio": ratio, "source": "cost_analysis_cpu_lowering", **d}
+        with open(cache, "w") as f:
+            json.dump(out, f)
+        return out["ratio"], out["source"]
+    except Exception as e:
+        print(f"[bench] live flops probe failed ({e}); using fallback constant",
+              file=sys.stderr)
+        return FALLBACK_FLOPS_RATIO, "fallback_constant"
+
+
+def _flops_probe_main():
+    algo = os.environ.get("BENCH_ALGO", "lokr")
+    jax.config.update("jax_platforms", "cpu")
+    out = {
+        "sd15_flops_per_example": _probe_case_flops(False, algo),
+        "sdxl_flops_per_example": _probe_case_flops(True, algo),
+    }
+    print(json.dumps(out))
+
+
+def _derive_sdxl(sdxl, algo, sps_x, sdxl_batch, sd15, sd15_batch, ref):
+    ratio, src = flops_ratio_live(algo)
+    derived_examples = ref * sd15_batch / ratio  # 4090 examples/sec at SDXL FLOPs
+    sdxl["vs_baseline"] = round(sps_x * sdxl_batch / derived_examples, 4)
+    sdxl["baseline_derivation"] = (
+        f"4090 {algo} SD1.5 {ref} it/s*b{sd15_batch} scaled by the "
+        f"per-example no-remat step-FLOPs ratio {ratio:.2f} ({src}); "
+        "reference publishes no SDXL throughput"
+    )
+    if sd15 is not None:
+        sdxl["sd15_steps_per_sec"] = sd15["value"]
+        sdxl["sd15_vs_baseline"] = sd15["vs_baseline"]
+    return sdxl
 
 
 def main():
@@ -167,44 +243,43 @@ def main():
 
     sd15 = sdxl = None
     if mode != "1":
-        sps, flops = run_case(False, algo, sd15_batch, iters)
+        sps = run_case(False, algo, sd15_batch, iters)
         sd15 = {
             "metric": f"sd15-{algo}-attnmlp-dim8-b{sd15_batch} train steps/sec/chip",
             "value": round(sps, 4),
             "unit": "steps/sec/chip",
             "vs_baseline": round(sps / ref, 4),
-            "flops_per_step": flops,
         }
         print(json.dumps(sd15), file=sys.stderr)
         if mode == "0":
-            print(json.dumps({k: v for k, v in sd15.items() if k != "flops_per_step"}))
+            print(json.dumps(sd15))
             return
-    sps_x, flops_x = run_case(True, algo, sdxl_batch, iters)
+    sps_x = run_case(True, algo, sdxl_batch, iters)
     sdxl = {
         "metric": f"sdxl-{algo}-attnmlp-dim8-b{sdxl_batch}-1024px train steps/sec/chip",
         "value": round(sps_x, 4),
         "unit": "steps/sec/chip",
     }
-    if sd15 is not None:
-        if sd15["flops_per_step"] and flops_x:
-            ratio = (flops_x / sdxl_batch) / (sd15["flops_per_step"] / sd15_batch)
-            src = "cost_analysis"
-        else:
-            ratio, src = FALLBACK_FLOPS_RATIO, "fallback_constant"
-        derived_examples = ref * sd15_batch / ratio  # 4090 examples/sec at SDXL FLOPs
-        sdxl["vs_baseline"] = round(sps_x * sdxl_batch / derived_examples, 4)
-        sdxl["baseline_derivation"] = (
-            f"4090 {algo} SD1.5 {ref} it/s*b{sd15_batch} scaled by the "
-            f"per-example no-remat step-FLOPs ratio {ratio:.2f} ({src}); "
-            "reference publishes no SDXL throughput"
-        )
-        sdxl["sd15_steps_per_sec"] = sd15["value"]
-        sdxl["sd15_vs_baseline"] = sd15["vs_baseline"]
-    else:
-        sdxl["vs_baseline"] = 0.0
-        sdxl["baseline_derivation"] = "run without sd15 leg; no derived baseline"
+    _derive_sdxl(sdxl, algo, sps_x, sdxl_batch, sd15, sd15_batch, ref)
+
+    # BASELINE.json names the metric "SDXL LoKr/LoHa" — record the LoHa leg
+    # alongside whenever the main algo isn't already loha (BENCH_SDXL_LOHA=0
+    # skips the extra compile for quick runs)
+    if algo != "loha" and os.environ.get("BENCH_SDXL_LOHA", "1") == "1" and mode == "both":
+        try:
+            sps_h = run_case(True, "loha", sdxl_batch, iters)
+            ratio_h, _ = flops_ratio_live("loha")
+            ref_h = REFERENCE_IT_PER_S["loha"]
+            derived_h = ref_h * sd15_batch / ratio_h
+            sdxl["sdxl_loha_steps_per_sec"] = round(sps_h, 4)
+            sdxl["sdxl_loha_vs_baseline"] = round(sps_h * sdxl_batch / derived_h, 4)
+        except Exception as e:
+            print(f"[bench] loha SDXL leg failed: {e}", file=sys.stderr)
     print(json.dumps(sdxl))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_FLOPS_PROBE") == "1":
+        _flops_probe_main()
+    else:
+        main()

@@ -298,6 +298,26 @@ def layer_norm(x: jax.Array, normalized_shape, weight=None, bias=None, eps: floa
     return y
 
 
+def rms_norm(x: jax.Array, normalized_shape, weight=None, bias=None, eps: float = 1e-6) -> jax.Array:
+    """RMSNorm (torch nn.RMSNorm / the reference's duck-typed ``_norm``
+    modules, lycoris/modules/norms.py:37-44): normalize over the trailing
+    dims by the root-mean-square, no mean subtraction.
+
+    ``weight``/``bias`` apply AFTER normalization — with ``weight=dw`` this
+    is exactly the reference's norm-delta path ``org_norm(x) * delta_w``
+    (norms.py:148-157)."""
+    if isinstance(normalized_shape, int):
+        normalized_shape = (normalized_shape,)
+    axes = tuple(range(x.ndim - len(normalized_shape), x.ndim))
+    ms = jnp.mean(jnp.square(x), axis=axes, keepdims=True)
+    y = x * lax.rsqrt(ms + eps)
+    if weight is not None:
+        y = y * weight
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 def group_norm(x: jax.Array, num_groups: int, weight=None, bias=None, eps: float = 1e-5) -> jax.Array:
     """torch F.group_norm semantics (channels-first input (N, C, *spatial)).
 

@@ -162,6 +162,21 @@ def _flax_layernorm_adapter(mod, params) -> LayerAdapter:
     )
 
 
+def _flax_rmsnorm_adapter(mod, params) -> LayerAdapter:
+    scale = params.get("scale")
+    has_bias = "bias" in params
+    li = LayerInfo.rms_norm(scale.shape[0], getattr(mod, "epsilon", 1e-6), has_bias)
+    return LayerAdapter(
+        layer_info=li,
+        get_weights=lambda p: (_t(p["scale"]), _t(p["bias"]) if "bias" in p else None),
+        put_weights=lambda p, w, b: {
+            **p,
+            "scale": w,
+            **({"bias": b} if b is not None and "bias" in p else {}),
+        },
+    )
+
+
 def _flax_groupnorm_adapter(mod, params) -> LayerAdapter:
     scale = params.get("scale")
     dim = scale.shape[0]
@@ -247,8 +262,12 @@ def adapter_for_linen(mod, params) -> LayerAdapter | None:
             return _flax_dense_adapter(mod, params)
         if cls in ("Conv", "ConvLocal") and "kernel" in params:
             return _flax_conv_adapter(mod, params)
-        if cls in ("LayerNorm", "RMSNorm") and "scale" in params:
+        if cls == "LayerNorm" and "scale" in params:
             return _flax_layernorm_adapter(mod, params)
+        if cls == "RMSNorm" and "scale" in params:
+            # reference duck-types these via the `_norm` attribute
+            # (norms.py:37-44); the delta op must NOT subtract a mean
+            return _flax_rmsnorm_adapter(mod, params)
         if cls == "GroupNorm" and "scale" in params:
             return _flax_groupnorm_adapter(mod, params)
     except Exception:
@@ -431,6 +450,24 @@ class ModelGraph:
                 li = LayerInfo.group_norm(mod.num_groups, mod.num_channels, mod.eps, mod.bias is not None, name)
             elif isinstance(mod, tnn.Embedding):
                 li = LayerInfo.linear(mod.num_embeddings, mod.embedding_dim, False, name)
+            elif hasattr(tnn, "RMSNorm") and isinstance(mod, tnn.RMSNorm):
+                li = LayerInfo.rms_norm(
+                    tuple(mod.normalized_shape), mod.eps if mod.eps is not None else 1e-6,
+                    getattr(mod, "bias", None) is not None, name,
+                )
+            elif (
+                getattr(mod, "weight", None) is not None
+                and hasattr(mod, "_norm")
+                and callable(mod._norm)
+                and getattr(mod.weight, "ndim", 0) >= 1
+            ):
+                # reference duck-typing (norms.py:37-44): any module exposing
+                # `weight` + a stats-only `_norm` counts as an RMSNorm-like
+                li = LayerInfo.rms_norm(
+                    tuple(mod.weight.shape),
+                    float(getattr(mod, "eps", getattr(mod, "variance_epsilon", 1e-6))),
+                    getattr(mod, "bias", None) is not None, name,
+                )
             if li is not None:
                 w = mod.weight.detach().cpu().numpy()
                 b = mod.bias.detach().cpu().numpy() if getattr(mod, "bias", None) is not None else None

@@ -408,8 +408,24 @@ class LycorisNetworkKohya(LycorisNetwork):
 
         return all_params, lr_descriptions
 
+    def enable_gradient_checkpointing(self):
+        """kohya's train_network.py calls this unconditionally when
+        ``--gradient_checkpointing`` is set (reference kohya.py:733-735 is a
+        no-op too). The TPU mapping is the trainer's remat tier
+        (:mod:`lycoris_tpu.trainer` ``remat=`` / ``LYCORIS_TPU_REMAT``), which
+        wraps the jitted step in ``jax.checkpoint`` — record the request so a
+        host trainer can read it when building the step."""
+        self.gradient_checkpointing = True
+
+    def prepare_grad_etc(self, *args):
+        """Reference kohya.py:737-738 flips requires_grad on. JAX grads are
+        positional (whatever is passed as the differentiated argument), so
+        trainability is already pinned by each module's ``trainable`` set —
+        nothing to flip; kept for the drop-in call contract."""
+
     def on_epoch_start(self, *args):
-        pass
+        """Reference kohya.py:740-741 calls ``self.train()``; JAX modules are
+        stateless — train/eval is the ``train=`` argument of each forward."""
 
     def on_step_start(self, *args):
         pass

@@ -33,6 +33,7 @@ class DiTConfig:
     depth_single: int = 38
     in_channels: int = 64
     context_dim: int = 4096
+    qk_norm: bool = True  # Flux applies per-head RMSNorm to q/k (qk-norm)
     dtype: Any = jnp.float32
 
 
@@ -70,13 +71,36 @@ def _attention(q, k, v, num_heads):
     return o.reshape(b, t, c)
 
 
+class QKNorm(nn.Module):
+    """Per-head RMSNorm on q/k (Flux qk-norm). Names mirror Flux
+    (``norm.query_norm`` / ``norm.key_norm``) so presets and the Norm algo
+    (reference norms.py:37-44 duck-typing) see the expected dotted paths."""
+
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, q, k):
+        q = L.RMSNorm(self.head_dim, name="query_norm")(q)
+        k = L.RMSNorm(self.head_dim, name="key_norm")(k)
+        return q, k
+
+
 class QKV(nn.Module):
     dim: int
+    num_heads: int = 0  # >0 enables Flux per-head qk RMSNorm
 
     @nn.compact
     def __call__(self, x):
         qkv = L.Linear(self.dim * 3, name="qkv")(x)
-        return jnp.split(qkv, 3, axis=-1)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.num_heads:
+            hd = self.dim // self.num_heads
+            b, t, _ = q.shape
+            q4 = q.reshape(b, t, self.num_heads, hd)
+            k4 = k.reshape(b, t, self.num_heads, hd)
+            q4, k4 = QKNorm(hd, name="norm")(q4, k4)
+            q, k = q4.reshape(b, t, self.dim), k4.reshape(b, t, self.dim)
+        return q, k, v
 
 
 class DoubleStreamBlock(nn.Module):
@@ -93,8 +117,9 @@ class DoubleStreamBlock(nn.Module):
 
         img_n = L.LayerNorm(d, use_bias=False, name="img_norm1")(img) * (1 + i_scale1) + i_shift1
         txt_n = L.LayerNorm(d, use_bias=False, name="txt_norm1")(txt) * (1 + t_scale1) + t_shift1
-        iq, ik, iv = QKV(d, name="img_attn")(img_n)
-        tq, tk, tv = QKV(d, name="txt_attn")(txt_n)
+        nh = c.num_heads if c.qk_norm else 0
+        iq, ik, iv = QKV(d, num_heads=nh, name="img_attn")(img_n)
+        tq, tk, tv = QKV(d, num_heads=nh, name="txt_attn")(txt_n)
         q = jnp.concatenate([tq, iq], axis=1)
         k = jnp.concatenate([tk, ik], axis=1)
         v = jnp.concatenate([tv, iv], axis=1)
@@ -131,6 +156,13 @@ class SingleStreamBlock(nn.Module):
         qkv_mlp = L.Linear(d * 3 + mlp, name="linear1")(x_n)
         qkv, mlp_h = jnp.split(qkv_mlp, [d * 3], axis=-1)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if c.qk_norm:
+            b, t, _ = q.shape
+            hd = d // c.num_heads
+            q4 = q.reshape(b, t, c.num_heads, hd)
+            k4 = k.reshape(b, t, c.num_heads, hd)
+            q4, k4 = QKNorm(hd, name="norm")(q4, k4)
+            q, k = q4.reshape(b, t, d), k4.reshape(b, t, d)
         attn = _attention(q, k, v, c.num_heads)
         out = L.Linear(d, name="linear2")(
             jnp.concatenate([attn, jax.nn.gelu(mlp_h, approximate=True)], axis=-1)

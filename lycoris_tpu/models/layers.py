@@ -167,6 +167,31 @@ class LayerNorm(nn.Module):
         return LayerInfo.layer_norm(params["weight"].shape[0], self.eps, "bias" in params)
 
 
+class RMSNorm(nn.Module):
+    """torch nn.RMSNorm / Llama-style ``_norm`` parity (trailing-dim RMS
+    normalization, no mean subtraction, no bias by default).
+
+    The reference's Norm algo duck-types these (lycoris/modules/norms.py:37-44)
+    and routes the trained delta through ``org_norm(x) * delta_w``
+    (norms.py:148-157) — mirrored by ``LayerInfo.rms_norm``'s op."""
+
+    dim: int
+    eps: float = 1e-6
+    use_bias: bool = False
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", lambda k: jnp.ones((self.dim,), self.param_dtype))
+        b = self.param("bias", lambda k: jnp.zeros((self.dim,), self.param_dtype)) if self.use_bias else None
+        return general.rms_norm(
+            x, (self.dim,), w.astype(x.dtype), None if b is None else b.astype(x.dtype), self.eps
+        )
+
+    def lycoris_layer_info(self, params):
+        return LayerInfo.rms_norm(params["weight"].shape[0], self.eps, "bias" in params)
+
+
 class GroupNorm(nn.Module):
     """torch nn.GroupNorm parity (channels-first)."""
 

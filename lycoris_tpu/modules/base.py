@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..functional import general
-from ..functional.general import convnd, linear, layer_norm, group_norm
+from ..functional.general import convnd, linear, layer_norm, group_norm, rms_norm
 
 
 def _hashable_kw(kw: dict) -> tuple:
@@ -42,7 +42,7 @@ class LayerInfo:
     ``(out, in, *k)`` so checkpoints stay byte-compatible.
     """
 
-    module_type: str  # linear | conv1d | conv2d | conv3d | layernorm | groupnorm
+    module_type: str  # linear | conv1d | conv2d | conv3d | layernorm | groupnorm | rmsnorm
     shape: tuple  # torch weight shape
     kw_dict: tuple = ()  # hashable (key, value) pairs for the op
     has_bias: bool = False
@@ -62,7 +62,7 @@ class LayerInfo:
 
     @property
     def is_norm(self) -> bool:
-        return self.module_type in ("layernorm", "groupnorm")
+        return self.module_type in ("layernorm", "groupnorm", "rmsnorm")
 
     # -- constructors -------------------------------------------------
     @staticmethod
@@ -103,6 +103,16 @@ class LayerInfo:
         return LayerInfo("layernorm", tuple(normalized_shape), kw, bias, name)
 
     @staticmethod
+    def rms_norm(normalized_shape, eps: float = 1e-6, bias: bool = False, name: str = "") -> "LayerInfo":
+        """Duck-typed ``_norm`` modules in the reference (norms.py:37-44):
+        anything with a ``weight`` and a stats-only ``_norm`` — RMSNorm-likes
+        (DiT qk-norm, T5/Llama norms)."""
+        if isinstance(normalized_shape, int):
+            normalized_shape = (normalized_shape,)
+        kw = _hashable_kw(dict(normalized_shape=tuple(normalized_shape), eps=eps))
+        return LayerInfo("rmsnorm", tuple(normalized_shape), kw, bias, name)
+
+    @staticmethod
     def group_norm(num_groups: int, num_channels: int, eps: float = 1e-5, bias: bool = True, name: str = "") -> "LayerInfo":
         kw = _hashable_kw(dict(num_groups=num_groups, eps=eps))
         return LayerInfo("groupnorm", (num_channels,), kw, bias, name)
@@ -117,6 +127,11 @@ class LayerInfo:
         if t == "layernorm":
             kw = self.kw
             return layer_norm(x, kw["normalized_shape"], weight, bias, kw["eps"])
+        if t == "rmsnorm":
+            # reference norm-delta path for org_norm modules (norms.py:148-157):
+            # op(x, dw, db) == org_norm(x) * dw + db
+            kw = self.kw
+            return rms_norm(x, kw["normalized_shape"], weight, bias, kw["eps"])
         if t == "groupnorm":
             kw = self.kw
             return group_norm(x, kw["num_groups"], weight, bias, kw["eps"])

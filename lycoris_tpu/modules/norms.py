@@ -3,6 +3,11 @@
 Parity contract with reference lycoris/modules/norms.py (NormModule):
 - trains ``w_norm``/``b_norm`` additive deltas on LayerNorm/GroupNorm
   (norms.py:37-56); delta-pattern forward (norms.py:125-157).
+- duck-typed ``_norm`` modules (RMSNorm-likes: DiT qk-norm, T5/Llama norms)
+  are accepted via ``module_type == "rmsnorm"`` — the reference accepts any
+  module with ``weight`` + ``_norm`` (norms.py:37-44) and routes the delta
+  through ``org_norm(x) * delta_w`` (norms.py:148-157), which is exactly
+  what ``LayerInfo.op`` computes for rmsnorm layers.
 - keys ``w_norm, b_norm`` (det ``w_norm``).
 """
 
@@ -16,7 +21,7 @@ from .base import LayerInfo, LycorisBaseModule
 
 class NormModule(LycorisBaseModule):
     name = "norm"
-    support_module = frozenset({"layernorm", "groupnorm"})
+    support_module = frozenset({"layernorm", "groupnorm", "rmsnorm"})
     weight_list = ["w_norm", "b_norm"]
     weight_list_det = ["w_norm"]
 

@@ -232,6 +232,11 @@ class LycorisNetwork:
         "Conv3d",
         "GroupNorm",
         "LayerNorm",
+        # RMSNorm-likes: the reference duck-types any `weight`+`_norm` module
+        # (norms.py:37-44) but only reaches them inside targeted containers;
+        # torch/linen spell the class "RMSNorm" so target it directly. Custom
+        # names (LlamaRMSNorm, ...) go through target_name / preset.
+        "RMSNorm",
         # flax-native class names (lowered onto the same LayerInfo kinds)
         "Dense",
         "Conv",

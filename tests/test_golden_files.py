@@ -132,3 +132,72 @@ def test_fp16_file_loads_as_fp32(ref, tmp_path):
     merged = j_net.merge_to(1.0)
     for name in merged:
         assert np.isfinite(np.asarray(merged[name]["weight"])).all()
+
+
+@pytest.mark.parametrize(
+    "algo,kwargs",
+    [
+        ("lora", {}),
+        ("loha", {}),
+        ("loha", {"use_tucker": True}),
+        ("lokr", {"factor": 4}),
+        ("lokr", {"factor": -1, "decompose_both": True}),
+    ],
+)
+def test_alpha_neq_rank_forward_semantics(algo, kwargs, ref, tmp_path):
+    """alpha≠rank cross-framework pin (VERDICT r2 #9). The reference's
+    merge_to double-scales loha/lokr when alpha≠rank (modules/loha.py quirk we
+    deliberately deviate from), but its *forward* (run-with-adapter) semantics
+    are the contract both sides agree on: our merged weights must reproduce
+    the reference's live-adapter layer outputs at dim=4, alpha=2."""
+    from lycoris import create_lycoris as ref_create
+
+    torch.manual_seed(0)
+    t_model = _torch_model()
+    base_sd = {k: v.detach().clone() for k, v in t_model.state_dict().items()}
+
+    r_net = ref_create(t_model, 1.0, linear_dim=4, linear_alpha=2.0, algo=algo,
+                       preset="full", **kwargs)
+    r_net.apply_to()
+    with torch.no_grad():
+        for p in r_net.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+
+    f = str(tmp_path / "golden_a2.safetensors")
+    from safetensors.torch import save_file
+
+    save_file({k: v.detach().clone().contiguous() for k, v in r_net.state_dict().items()}, f)
+
+    # reference LIVE-adapter forward per adapted layer (apply_to routed)
+    torch.manual_seed(1)
+    r_net.eval()
+    inputs = {
+        "fc1": torch.randn(3, 32),
+        "fc2": torch.randn(3, 64),
+        "conv": torch.randn(2, 16, 8, 8),
+        "pw": torch.randn(2, 32, 8, 8),
+    }
+    with torch.no_grad():
+        want = {n: getattr(t_model, n)(x) for n, x in inputs.items()}
+
+    r_net.restore()
+    t_model.load_state_dict(base_sd)
+
+    # ours: load the same file, merge, run the plain layer on merged weights
+    graph = ModelGraph.from_torch(t_model)
+    j_net, _ = create_lycoris_from_weights(1.0, f, graph)
+    assert len(j_net.loras) == len(r_net.loras)
+    merged = j_net.merge_to(1.0)
+
+    import torch.nn.functional as F
+
+    with torch.no_grad():
+        for n, x in inputs.items():
+            w = torch.tensor(np.asarray(merged[n]["weight"]))
+            b = getattr(t_model, n).bias
+            if n.startswith(("conv", "pw")):
+                got = F.conv2d(x, w, b, padding=getattr(t_model, n).padding)
+            else:
+                got = F.linear(x, w, b)
+            max_d = (got - want[n]).abs().max().item()
+            assert max_d <= 1e-3, f"{algo} {kwargs} {n}: max|Δ|={max_d}"  # BASELINE gate

@@ -129,3 +129,17 @@ def test_apply_flags_trim():
     net.apply_to(apply_text_encoder=False, apply_unet=True)
     assert net.text_encoder_loras == []
     assert len(net.loras) == n_unet
+
+
+def test_trainer_callback_surface():
+    """kohya's train_network.py invokes these unconditionally (reference
+    kohya.py:733-747) — the drop-in contract needs them callable."""
+    ugraph, tes, _ = _fixtures(1)
+    net = create_network(1.0, 4, 1.0, None, tes[0], ugraph, algo="lora", preset="attn-mlp")
+    assert not getattr(net, "gradient_checkpointing", False)
+    net.enable_gradient_checkpointing()
+    assert net.gradient_checkpointing is True
+    net.prepare_grad_etc()
+    net.on_epoch_start()
+    net.on_step_start()
+    assert net.get_trainable_params()

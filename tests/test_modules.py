@@ -150,6 +150,7 @@ def test_norm_module(rng):
     for li, x_shape in [
         (LayerInfo.layer_norm(DIM), (2, DIM)),
         (LayerInfo.group_norm(4, DIM), (2, DIM, 8, 8)),
+        (LayerInfo.rms_norm(DIM, bias=True), (2, DIM)),
     ]:
         w = jnp.ones(li.shape)
         b = jnp.zeros((li.dim,))
