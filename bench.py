@@ -104,6 +104,12 @@ def run_case(use_sdxl: bool, algo: str, batch: int, iters: int):
                           merge_mode=os.environ.get("BENCH_MERGE_MODE", "interceptor"),
                           auto_layout={"0": False, "1": True}.get(
                               os.environ.get("BENCH_AUTO_LAYOUT", ""), None))
+    if os.environ.get("LYCORIS_TPU_RELAYOUT_INPLACE", "0") == "1":
+        # in-place relayout frees the source buffers — drop our aliases so the
+        # trainer's copies are the only owners (graph/variables aren't used
+        # after this point in the bench; merge_to is never called here)
+        graph.params = None
+        variables = None
     batch_data = {"latents": latents, "context": ctx}
 
     print("[bench] compiling + warmup...", file=sys.stderr)

@@ -266,7 +266,15 @@ class DiffusionTrainer:
         )
         moved_bytes = sum(jax.tree_util.tree_leaves(moved))
         budget = float(os.environ.get("LYCORIS_TPU_RELAYOUT_BUDGET_GB", "1.5"))
-        if moved_bytes > budget * 2**30:
+        # LYCORIS_TPU_RELAYOUT_INPLACE=1: relayout tensor-by-tensor and FREE
+        # each source immediately, so steady-state extra HBM ≈ 0 (transient =
+        # one tensor ≤ ~30 MB). This invalidates any outside aliases of the
+        # caller's param tree — the caller must have dropped them (bench.py
+        # does). Motivation: the SDXL profile shows ~38 ms/step of per-step
+        # weight relayout copies ([10240,1280]{0,1} etc) feeding the matmul
+        # fusions when the budget gate declines the 3.23 GiB aliased copy.
+        inplace = os.environ.get("LYCORIS_TPU_RELAYOUT_INPLACE", "0") == "1"
+        if moved_bytes > budget * 2**30 and not inplace:
             from .logging import logger
 
             logger.info(
@@ -281,9 +289,21 @@ class DiffusionTrainer:
             want = Format(Layout(major_to_minor=f.layout.major_to_minor), f.sharding)
             return jax.device_put(x, want)
 
-        self.base_params = jax.tree_util.tree_map(
-            _relayout, self.base_params, base_formats
-        )
+        if inplace:
+            leaves, treedef = jax.tree_util.tree_flatten(self.base_params)
+            fleaves = treedef.flatten_up_to(base_formats)
+            out = []
+            for x, f in zip(leaves, fleaves):
+                y = _relayout(x, f)
+                if y is not x:
+                    jax.block_until_ready(y)
+                    x.delete()
+                out.append(y)
+            self.base_params = jax.tree_util.tree_unflatten(treedef, out)
+        else:
+            self.base_params = jax.tree_util.tree_map(
+                _relayout, self.base_params, base_formats
+            )
         self._compiled = compiled
         self._compiled_shapes = jax.tree_util.tree_map(jnp.shape, batch)
 

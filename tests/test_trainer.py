@@ -97,6 +97,29 @@ def test_auto_layout_matches_plain_jit():
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
 
 
+def test_auto_layout_inplace_matches_plain_jit(monkeypatch):
+    """LYCORIS_TPU_RELAYOUT_INPLACE=1 relayouts tensor-by-tensor, freeing each
+    source buffer (zero-budget path for SDXL-sized param trees). Must be
+    numerically transparent and must actually take the AOT path even with a
+    zero budget (which would otherwise decline)."""
+    monkeypatch.setenv("LYCORIS_TPU_RELAYOUT_INPLACE", "1")
+    monkeypatch.setenv("LYCORIS_TPU_RELAYOUT_BUDGET_GB", "0")
+    model, variables, net, batch = _tiny_setup("lokr")
+    tr = DiffusionTrainer(model, variables, net, lr=1e-2,
+                          weight_dtype=jnp.float32, auto_layout=True)
+    rng = jax.random.key(5)
+    inplace = [float(tr.train_step(batch, jax.random.fold_in(rng, i))) for i in range(4)]
+    assert tr._compiled is not None
+
+    monkeypatch.delenv("LYCORIS_TPU_RELAYOUT_INPLACE")
+    monkeypatch.delenv("LYCORIS_TPU_RELAYOUT_BUDGET_GB")
+    model, variables, net, batch = _tiny_setup("lokr")
+    tr = DiffusionTrainer(model, variables, net, lr=1e-2,
+                          weight_dtype=jnp.float32, auto_layout=False)
+    plain = [float(tr.train_step(batch, jax.random.fold_in(rng, i))) for i in range(4)]
+    np.testing.assert_allclose(inplace, plain, rtol=1e-6)
+
+
 def test_auto_layout_fallback_on_layout_rejection():
     """If the AOT executable rejects the relayouted base params (persistent
     compile cache canonicalization mismatch — see trainer.auto_layout doc),
