@@ -344,6 +344,10 @@ def group_norm(x: jax.Array, num_groups: int, weight=None, bias=None, eps: float
         from ..ops.group_norm import group_norm_dots
 
         return group_norm_dots(x, num_groups, weight, bias, eps)
+    if mode == "fused2" and x.ndim >= 3:
+        from ..ops.group_norm_v2 import group_norm_act as _gn2
+
+        return _gn2(x, num_groups, weight, bias, eps)
     n, c, *spatial = x.shape
     cg = c // num_groups
     sp_axes = tuple(range(2, x.ndim))
@@ -369,6 +373,29 @@ def group_norm(x: jax.Array, num_groups: int, weight=None, bias=None, eps: float
     exp = (n, c, *[1] * len(spatial))
     y = xf * scale_c.reshape(exp) + shift_c.reshape(exp)
     return y.astype(x.dtype)
+
+def group_norm_act(x: jax.Array, num_groups: int, weight=None, bias=None,
+                   eps: float = 1e-5, act: str | None = None) -> jax.Array:
+    """GroupNorm with an optionally FOLDED activation (the UNet's norm→silu
+    chains). Under ``LYCORIS_TPU_GN=fused2`` the act rides inside the Pallas
+    kernels (ops/group_norm_v2.py) so the chain costs zero extra passes;
+    otherwise it is the plain jnp/dots group_norm followed by the act
+    (numerically identical)."""
+    import os as _os
+
+    if act not in (None, "silu"):
+        raise ValueError(f"unsupported folded act {act!r}")
+    if (
+        act is not None
+        and _os.environ.get("LYCORIS_TPU_GN", "auto") == "fused2"
+        and x.ndim >= 3
+    ):
+        from ..ops.group_norm_v2 import group_norm_act as _gn2
+
+        return _gn2(x, num_groups, weight, bias, eps, act=act)
+    y = group_norm(x, num_groups, weight, bias, eps)
+    return jax.nn.silu(y) if act == "silu" else y
+
 
 # FUNC_LIST equivalent: index by weight ndim (reference general.py:6)
 FUNC_LIST = [None, None, linear, convnd, convnd, convnd]

@@ -193,12 +193,19 @@ class RMSNorm(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """torch nn.GroupNorm parity (channels-first)."""
+    """torch nn.GroupNorm parity (channels-first).
+
+    ``act="silu"`` folds the UNet's norm→silu chain into the layer so the
+    fused kernels (ops/group_norm_v2.py, ``LYCORIS_TPU_GN=fused2``) execute
+    it in-kernel; on the jnp/dots paths it is applied separately (identical
+    numerics). The folded act is recorded in the LayerInfo so NormModule
+    keeps reference delta semantics (act on the summed pre-activation)."""
 
     num_groups: int
     num_channels: int
     eps: float = 1e-5
     use_bias: bool = True
+    act: str | None = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
@@ -209,9 +216,12 @@ class GroupNorm(nn.Module):
             if self.use_bias
             else None
         )
-        return general.group_norm(
-            x, self.num_groups, w.astype(x.dtype), None if b is None else b.astype(x.dtype), self.eps
+        return general.group_norm_act(
+            x, self.num_groups, w.astype(x.dtype), None if b is None else b.astype(x.dtype),
+            self.eps, act=self.act,
         )
 
     def lycoris_layer_info(self, params):
-        return LayerInfo.group_norm(self.num_groups, self.num_channels, self.eps, "bias" in params)
+        return LayerInfo.group_norm(
+            self.num_groups, self.num_channels, self.eps, "bias" in params, act=self.act
+        )

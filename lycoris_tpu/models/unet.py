@@ -224,13 +224,11 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         in_ch = x.shape[1]
-        h = L.GroupNorm(self.norm_groups, in_ch, eps=1e-5, name="norm1")(x)
-        h = jax.nn.silu(h)
+        h = L.GroupNorm(self.norm_groups, in_ch, eps=1e-5, act="silu", name="norm1")(x)
         h = L.Conv2d(self.out_channels, kernel_size=3, padding=1, name="conv1")(h)
         t = L.Linear(self.out_channels, name="time_emb_proj")(jax.nn.silu(temb))
         h = h + t[:, :, None, None]
-        h = L.GroupNorm(self.norm_groups, self.out_channels, eps=1e-5, name="norm2")(h)
-        h = jax.nn.silu(h)
+        h = L.GroupNorm(self.norm_groups, self.out_channels, eps=1e-5, act="silu", name="norm2")(h)
         h = L.Conv2d(self.out_channels, kernel_size=3, padding=1, name="conv2")(h)
         if in_ch != self.out_channels:
             x = L.Conv2d(self.out_channels, kernel_size=1, name="conv_shortcut")(x)
@@ -359,6 +357,5 @@ class UNet2DConditionModel(nn.Module):
             if bi > 0:
                 h = Upsample2D(ch, cfg.dtype, name=f"up_blocks_{ui}_upsamplers_0")(h)
 
-        h = L.GroupNorm(cfg.norm_groups, cfg.block_out_channels[0], name="conv_norm_out")(h)
-        h = jax.nn.silu(h)
+        h = L.GroupNorm(cfg.norm_groups, cfg.block_out_channels[0], act="silu", name="conv_norm_out")(h)
         return L.Conv2d(cfg.out_channels, kernel_size=3, padding=1, name="conv_out")(h)

@@ -113,12 +113,24 @@ class LayerInfo:
         return LayerInfo("rmsnorm", tuple(normalized_shape), kw, bias, name)
 
     @staticmethod
-    def group_norm(num_groups: int, num_channels: int, eps: float = 1e-5, bias: bool = True, name: str = "") -> "LayerInfo":
-        kw = _hashable_kw(dict(num_groups=num_groups, eps=eps))
-        return LayerInfo("groupnorm", (num_channels,), kw, bias, name)
+    def group_norm(num_groups: int, num_channels: int, eps: float = 1e-5, bias: bool = True, name: str = "", act: str | None = None) -> "LayerInfo":
+        """``act`` records an activation FOLDED into the layer (models/layers.py
+        GroupNorm(act=...), the UNet's norm→silu chains). The op applies it
+        after the norm; NormModule computes its delta act-less and re-applies
+        the act on the summed pre-activation (gn is linear in (γ, β))."""
+        kw = dict(num_groups=num_groups, eps=eps)
+        if act is not None:
+            kw["act"] = act
+        return LayerInfo("groupnorm", (num_channels,), _hashable_kw(kw), bias, name)
+
+    @property
+    def act(self) -> str | None:
+        """Activation folded into the layer (groupnorm only; see group_norm)."""
+        return self.kw.get("act") if self.module_type == "groupnorm" else None
 
     # -- the op --------------------------------------------------------
-    def op(self, x: jax.Array, weight: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    def op(self, x: jax.Array, weight: jax.Array, bias: jax.Array | None = None,
+           with_act: bool = True) -> jax.Array:
         t = self.module_type
         if t == "linear":
             return linear(x, weight, bias)
@@ -134,7 +146,10 @@ class LayerInfo:
             return rms_norm(x, kw["normalized_shape"], weight, bias, kw["eps"])
         if t == "groupnorm":
             kw = self.kw
-            return group_norm(x, kw["num_groups"], weight, bias, kw["eps"])
+            return general.group_norm_act(
+                x, kw["num_groups"], weight, bias, kw["eps"],
+                act=kw.get("act") if with_act else None,
+            )
         raise ValueError(f"unsupported module_type {t}")
 
 

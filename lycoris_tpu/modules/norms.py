@@ -103,7 +103,20 @@ class NormModule(LycorisBaseModule):
             org_forward = self._default_org_forward(org_weight, org_bias)
         if self.not_supported:
             return org_forward(x)
-        base = org_forward(x)
         dw, db = self.get_diff_weight(params, multiplier)
-        delta = self.op(x, dw.astype(x.dtype), None if db is None else db.astype(x.dtype))
+        db_x = None if db is None else db.astype(x.dtype)
+        if self.layer.act is not None and org_weight is not None:
+            # act folded into the layer (models/layers.py GroupNorm(act=...)):
+            # adapted output is act(gn_{w+dw}(x)); gn is linear in (γ, β)
+            # given the stats, so sum the act-less halves and re-apply act
+            base = org_forward(x)  # full layer output (act included)
+            pre = self.layer.op(
+                x, org_weight.astype(x.dtype),
+                None if org_bias is None else org_bias.astype(x.dtype),
+                with_act=False,
+            ) + self.layer.op(x, dw.astype(x.dtype), db_x, with_act=False)
+            full = jax.nn.silu(pre) if self.layer.act == "silu" else pre
+            return self._module_dropout_mix(rng, train, base, full)
+        base = org_forward(x)
+        delta = self.op(x, dw.astype(x.dtype), db_x)
         return self._module_dropout_mix(rng, train, base, base + delta)

@@ -108,9 +108,24 @@ class DiffusionTrainer:
         # deep-copy: the jitted step donates these buffers, and device_put
         # aliases when the sharding already matches — donating the network's
         # own param arrays would invalidate net.merge_to()/state_dict()
-        self.adapter_params = shd.replicate(
-            jax.tree_util.tree_map(jnp.array, net.trainable_params()), self.mesh
-        )
+        adapter_tree = jax.tree_util.tree_map(jnp.array, net.trainable_params())
+
+        # LYCORIS_TPU_FLAT_OPT=1: run the optimizer over ONE flat vector
+        # instead of ~3 tiny leaves per module — the SD1.5 r3 profile shows
+        # ~10 ms/step of sub-µs-work 2-D ops (per-leaf adam chains + their
+        # output buffers). The tree is re-materialized inside the step via
+        # ravel_pytree's unravel (slices fuse into their consumers); the
+        # step's adapter output is the single flat buffer.
+        self._unravel = None
+        flat_opt = os.environ.get("LYCORIS_TPU_FLAT_OPT", "0") == "1"
+        if flat_opt:
+            leaves = jax.tree_util.tree_leaves(adapter_tree)
+            if leaves and all(l.dtype == leaves[0].dtype for l in leaves):
+                from jax.flatten_util import ravel_pytree
+
+                flat, self._unravel = ravel_pytree(adapter_tree)
+                adapter_tree = flat
+        self.adapter_params = shd.replicate(adapter_tree, self.mesh)
         # non-trainable adapter buffers (alpha, scalar, zero-init factors)
         # MUST be jit arguments, not closure constants: 192 modules' worth of
         # embedded constants bloat the HLO and stall lowering on device→host
@@ -141,7 +156,11 @@ class DiffusionTrainer:
         optimizer = self.optimizer
         wd = self.weight_dtype
 
+        unravel = self._unravel
+
         def loss_fn(adapter_params, buffers, base_params, batch, rng):
+            if unravel is not None:
+                adapter_params = unravel(adapter_params)
             latents = batch["latents"].astype(wd)
             context = batch["context"].astype(wd)
             added = batch.get("added_cond")
@@ -188,12 +207,17 @@ class DiffusionTrainer:
             # program (reference kohya.py:637-650 runs it per step after the
             # optimizer). Scaled leaves may live in either tree: 'scalar' is a
             # buffer when use_scalar=False, a trainable leaf otherwise.
-            full = {ln: {**buffers.get(ln, {}), **sub} for ln, sub in adapter_params.items()}
+            tree = unravel(adapter_params) if unravel is not None else adapter_params
+            full = {ln: {**buffers.get(ln, {}), **sub} for ln, sub in tree.items()}
             upd, flags, norms = net.apply_max_norm_traced(full, max_norm)
             adapter_params = {
                 ln: {k: upd.get(ln, {}).get(k, v) for k, v in sub.items()}
-                for ln, sub in adapter_params.items()
+                for ln, sub in tree.items()
             }
+            if unravel is not None:
+                from jax.flatten_util import ravel_pytree
+
+                adapter_params = ravel_pytree(adapter_params)[0]
             buffers = {
                 ln: {k: upd.get(ln, {}).get(k, v) for k, v in sub.items()}
                 for ln, sub in buffers.items()
@@ -348,9 +372,16 @@ class DiffusionTrainer:
         self.step += 1
         return loss
 
+    def adapter_tree(self):
+        """Adapter params as the per-module tree (unravels the flat-optimizer
+        vector when LYCORIS_TPU_FLAT_OPT is active)."""
+        if self._unravel is not None:
+            return self._unravel(self.adapter_params)
+        return self.adapter_params
+
     def sync_to_network(self):
         """Write trained adapter params back into the network modules."""
-        host = jax.device_get(self.adapter_params)
+        host = jax.device_get(self.adapter_tree())
         for ln, sub in host.items():
             self.net.lora_map[ln].params.update({k: jnp.asarray(v) for k, v in sub.items()})
         if self.scale_weight_norms:
@@ -367,8 +398,11 @@ class DiffusionTrainer:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
+        # adapter params are always checkpointed as the per-module TREE so
+        # files stay valid across flat-opt on/off; opt_state layout is
+        # mode-specific (flat moments vs per-leaf) and restores within-mode
         state = {
-            "adapter_params": jax.device_get(self.adapter_params),
+            "adapter_params": jax.device_get(self.adapter_tree()),
             "opt_state": jax.device_get(self.opt_state),
             "step": self.step,
         }
@@ -384,12 +418,17 @@ class DiffusionTrainer:
 
         ckptr = ocp.StandardCheckpointer()
         target = {
-            "adapter_params": jax.device_get(self.adapter_params),
+            "adapter_params": jax.device_get(self.adapter_tree()),
             "opt_state": jax.device_get(self.opt_state),
             "step": self.step,
         }
         state = ckptr.restore(os.path.abspath(path), target=target)
-        self.adapter_params = shd.replicate(state["adapter_params"], self.mesh)
+        tree = state["adapter_params"]
+        if self._unravel is not None:
+            from jax.flatten_util import ravel_pytree
+
+            tree = ravel_pytree(tree)[0]
+        self.adapter_params = shd.replicate(tree, self.mesh)
         self.opt_state = shd.replicate(state["opt_state"], self.mesh)
         self.step = int(state["step"])
 

@@ -76,3 +76,47 @@ def test_gn_v2_fallback_small_spatial():
     x = jax.random.normal(jax.random.key(2), (2, 64, 8, 8), jnp.float32)
     y = gnv2.group_norm_act(x, 32, None, None)
     np.testing.assert_allclose(np.asarray(y), np.asarray(gn_jnp(x, 32)), rtol=1e-5, atol=1e-5)
+
+
+def test_norm_module_on_act_folded_gn():
+    """GroupNorm(act='silu') layers: NormModule must produce
+    act(gn_{w+dw}(x)) — act applied once on the summed pre-activation — and
+    merge_to must agree with the live forward."""
+    import flax.linen as nn
+
+    from lycoris_tpu import LycorisNetwork, ModelGraph, create_lycoris
+    from lycoris_tpu.models import layers as L
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = L.GroupNorm(4, 32, act="silu", name="gn")(x)
+            h = L.Conv2d(32, kernel_size=1, name="pw")(h)
+            return h
+
+    model = Net()
+    x = jax.random.normal(jax.random.key(3), (2, 32, 16, 16))
+    variables = model.init(jax.random.key(0), x)
+    graph = ModelGraph.from_linen(model, variables, x)
+    try:
+        net = create_lycoris(graph, 1.0, linear_dim=4, linear_alpha=1.0,
+                             algo="lora", train_norm=True, rng=jax.random.key(1))
+        names = {l.lora_name: l for l in net.loras}
+        assert "lycoris_gn" in names
+        assert names["lycoris_gn"].layer.act == "silu"
+
+        base = model.apply(variables, x)
+        out0 = net(variables, x)
+        np.testing.assert_allclose(np.asarray(out0), np.asarray(base), rtol=2e-5, atol=2e-5)
+
+        tree = net.params_tree()
+        tree["lycoris_gn"]["w_norm"] = tree["lycoris_gn"]["w_norm"] + 0.2
+        tree["lycoris_gn"]["b_norm"] = tree["lycoris_gn"]["b_norm"] - 0.1
+        out1 = net(variables, x, adapter_params=tree)
+        assert float(jnp.max(jnp.abs(out1 - base))) > 1e-4
+
+        merged = net.merge_to(1.0, adapter_params=tree)
+        out_m = model.apply({"params": merged}, x)
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out1), rtol=1e-4, atol=1e-5)
+    finally:
+        LycorisNetwork.reset_preset()

@@ -160,3 +160,30 @@ def test_trained_adapters_merge():
     np.testing.assert_allclose(
         np.asarray(out_merged), np.asarray(out_adapted), rtol=2e-2, atol=2e-4
     )
+
+
+def test_flat_optimizer_matches_tree(monkeypatch):
+    """LYCORIS_TPU_FLAT_OPT=1 runs adam over one flat vector (r3 profile:
+    ~10 ms/step of per-leaf optimizer chains); adam is elementwise so the
+    loss trajectory must match the per-leaf mode exactly, and sync_to_network
+    must still land per-module trees."""
+    model, variables, net, batch = _tiny_setup("lokr")
+    rng = jax.random.key(9)
+    tr = DiffusionTrainer(model, variables, net, lr=1e-2,
+                          weight_dtype=jnp.float32, auto_layout=False)
+    plain = [float(tr.train_step(batch, jax.random.fold_in(rng, i))) for i in range(4)]
+
+    monkeypatch.setenv("LYCORIS_TPU_FLAT_OPT", "1")
+    model, variables, net, batch = _tiny_setup("lokr")
+    tr2 = DiffusionTrainer(model, variables, net, lr=1e-2,
+                           weight_dtype=jnp.float32, auto_layout=False)
+    assert tr2._unravel is not None and tr2.adapter_params.ndim == 1
+    flat = [float(tr2.train_step(batch, jax.random.fold_in(rng, i))) for i in range(4)]
+    np.testing.assert_allclose(flat, plain, rtol=1e-6)
+
+    tr2.sync_to_network()
+    tree = tr2.adapter_tree()
+    some = next(iter(tree))
+    for k, v in tree[some].items():
+        np.testing.assert_allclose(
+            np.asarray(net.lora_map[some].params[k]), np.asarray(v), rtol=1e-6)

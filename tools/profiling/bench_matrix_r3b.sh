@@ -17,8 +17,15 @@ $RB BENCH_SDXL=1 LYCORIS_TPU_RELAYOUT_INPLACE=1
 # C. SD1.5 batch 16 (examples/s vs the b8 operating point)
 $RB BENCH_SDXL=0 BENCH_BATCH=16
 
-# D. microbenches: BOFT dense bypass vs chain; GN jnp/dots/barrier grid
+# D. microbenches: BOFT dense bypass vs chain; GN jnp/dots/barrier/v2 grid
 timeout 1800 python /root/repo/tools/profiling/bench_boft_gn.py \
   2>&1 | grep -v WARNING | tail -30 >> /tmp/bench_results.log
+
+# E-F. in-train GN fused2 legs (layout-native fused GN+silu kernels)
+$RB BENCH_SDXL=0 LYCORIS_TPU_GN=fused2
+$RB BENCH_SDXL=1 LYCORIS_TPU_GN=fused2 LYCORIS_TPU_RELAYOUT_INPLACE=1
+
+# G. flat optimizer (adam over one flat vector)
+$RB BENCH_SDXL=0 LYCORIS_TPU_FLAT_OPT=1
 
 echo "=== R3B MATRIX done $(date) ===" >> /tmp/bench_results.log
