@@ -249,6 +249,8 @@ def convnd(
         raise ValueError(f"unsupported conv ndim {nd}")
     lhs_spec = "NC" + spatial
     rhs_spec = "OI" + spatial
+    if _dw_shifts_eligible(nd, stride, dilation, groups, pad, weight.shape):
+        return _conv2d_dw_shifts(x, weight, bias, tuple(pad))
     dn = lax.conv_dimension_numbers(x.shape, weight.shape, (lhs_spec, rhs_spec, lhs_spec))
     y = lax.conv_general_dilated(
         x,
@@ -268,6 +270,85 @@ def convnd(
 conv1d = partial(convnd)
 conv2d = partial(convnd)
 conv3d = partial(convnd)
+
+
+# ---------------------------------------------------------------------------
+# LYCORIS_TPU_CONV_DW=shifts: conv2d filter gradient as k·k shifted matmuls
+# ---------------------------------------------------------------------------
+#
+# The SD1.5 step profile puts the conv fusions at ~58 % MXU utilization,
+# conv-backward bound. XLA lowers the filter gradient as another convolution
+# whose tiling at 3×3/64² shapes underutilizes the MXU; the same contraction
+# expressed as k·k dense [O, N·H·W]×[N·H·W, I] matmuls (one per kernel tap,
+# operands = shifted views of the padded input that fuse into the matmul)
+# keeps the systolic array on large clean GEMMs. Forward and dx stay on
+# XLA's native convolutions (dx measured fine). Scope: 2-D, stride 1,
+# dilation 1, groups 1, odd kernel with SAME-style symmetric padding —
+# i.e. every 3×3 in the UNet; everything else uses plain autodiff.
+
+
+def _conv2d_same_core(x, weight, pad):
+    dn = lax.conv_dimension_numbers(x.shape, weight.shape, ("NCHW", "OIHW", "NCHW"))
+    return lax.conv_general_dilated(
+        x, weight, window_strides=(1, 1), padding=pad,
+        dimension_numbers=dn, precision=op_precision(x, weight),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv2d_dw_shifts(x, weight, bias, pad):
+    y = _conv2d_same_core(x, weight, pad)
+    if bias is not None:
+        y = y + bias.reshape(1, -1, 1, 1)
+    return y
+
+
+def _conv2d_dw_shifts_fwd(x, weight, bias, pad):
+    return _conv2d_dw_shifts(x, weight, bias, pad), (x, weight, bias)
+
+
+def _conv2d_dw_shifts_bwd(pad, res, dy):
+    x, weight, bias = res
+    o, i_, kh, kw = weight.shape
+    (ph, _), (pw, _) = pad
+    h, w = x.shape[2], x.shape[3]
+    # dx: XLA's native backward-input convolution (via vjp of the core conv)
+    _, pullback = jax.vjp(lambda xx: _conv2d_same_core(xx, weight, pad), x)
+    (dx,) = pullback(dy)
+    # dW: one [O, I] GEMM per kernel tap, contracting (N, H, W); the shifted
+    # slices of the padded input fuse into the matmul operand reads
+    xp = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
+    taps = []
+    for ki in range(kh):
+        for kj in range(kw):
+            xs = lax.slice(xp, (0, 0, ki, kj), (xp.shape[0], xp.shape[1], ki + h, kj + w))
+            taps.append(
+                lax.dot_general(
+                    dy, xs, (((0, 2, 3), (0, 2, 3)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+    dw = jnp.stack(taps, axis=-1).reshape(o, i_, kh, kw).astype(weight.dtype)
+    db = None if bias is None else jnp.sum(dy, axis=(0, 2, 3)).astype(bias.dtype)
+    return dx, dw, db
+
+
+_conv2d_dw_shifts.defvjp(_conv2d_dw_shifts_fwd, _conv2d_dw_shifts_bwd)
+
+
+def _dw_shifts_eligible(nd, stride, dilation, groups, pad, wshape) -> bool:
+    import os as _os
+
+    if _os.environ.get("LYCORIS_TPU_CONV_DW", "") != "shifts":
+        return False
+    if nd != 2 or groups != 1 or stride != (1, 1) or dilation != (1, 1):
+        return False
+    if isinstance(pad, str) or len(wshape) != 4:
+        return False
+    kh, kw = wshape[2], wshape[3]
+    if kh * kw <= 1 or kh % 2 == 0 or kw % 2 == 0:
+        return False
+    return tuple(pad) == ((kh // 2, kh // 2), (kw // 2, kw // 2))
 
 
 def layer_norm(x: jax.Array, normalized_shape, weight=None, bias=None, eps: float = 1e-5) -> jax.Array:

@@ -173,3 +173,38 @@ def test_hada_weight_grad_matches_reference(ref):
     j_grads = vjp(g_j)
     for jg, rg in zip(j_grads, r_grads):
         np.testing.assert_allclose(np.asarray(jg), rg, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_dw_shifts_grad_parity(monkeypatch):
+    """LYCORIS_TPU_CONV_DW=shifts (filter grad as k*k shifted GEMMs) must
+    match plain autodiff for 3x3 SAME convs and leave other shapes on the
+    autodiff path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lycoris_tpu.functional.general import convnd
+
+    key = jax.random.key(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x = jax.random.normal(k1, (2, 8, 16, 16))
+    w = jax.random.normal(k2, (12, 8, 3, 3)) * 0.1
+    b = jax.random.normal(k3, (12,)) * 0.1
+    dy_seed = jax.random.normal(k4, (2, 12, 16, 16))
+
+    def loss(x, w, b):
+        return jnp.sum(convnd(x, w, b, stride=1, padding=1) * dy_seed)
+
+    ref = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
+    monkeypatch.setenv("LYCORIS_TPU_CONV_DW", "shifts")
+    got = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
+    for g, r, name in zip(got, ref, ("dx", "dw", "db")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+    # ineligible shapes (stride 2) still differentiate correctly
+    def loss2(x, w):
+        return jnp.sum(convnd(x, w, None, stride=2, padding=1) ** 2)
+
+    g2 = jax.grad(loss2)(x, w)
+    assert np.isfinite(np.asarray(g2)).all()

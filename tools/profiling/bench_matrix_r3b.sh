@@ -28,4 +28,7 @@ $RB BENCH_SDXL=1 LYCORIS_TPU_GN=fused2 LYCORIS_TPU_RELAYOUT_INPLACE=1
 # G. flat optimizer (adam over one flat vector)
 $RB BENCH_SDXL=0 LYCORIS_TPU_FLAT_OPT=1
 
+# H. conv filter-grad as shifted GEMMs
+$RB BENCH_SDXL=0 LYCORIS_TPU_CONV_DW=shifts
+
 echo "=== R3B MATRIX done $(date) ===" >> /tmp/bench_results.log
