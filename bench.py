@@ -254,7 +254,9 @@ def main():
             "metric": f"sd15-{algo}-attnmlp-dim8-b{sd15_batch} train steps/sec/chip",
             "value": round(sps, 4),
             "unit": "steps/sec/chip",
-            "vs_baseline": round(sps / ref, 4),
+            # examples/sec basis so BENCH_BATCH != 8 legs stay comparable to
+            # the 4090 row (which is it/s at batch 8); identical at b8
+            "vs_baseline": round(sps * sd15_batch / (ref * 8), 4),
         }
         print(json.dumps(sd15), file=sys.stderr)
         if mode == "0":

@@ -123,9 +123,18 @@ class CrossAttention(nn.Module):
         hs = (self.num_heads, head_dim)
         # head_split: projections emit (B, H, T, D) directly — the transpose
         # is fused into the matmul instead of materializing a relayout copy
-        q = L.Linear(inner, use_bias=False, name="to_q", head_split=hs)(x)
-        k = L.Linear(inner, use_bias=False, name="to_k", head_split=hs)(context)
-        v = L.Linear(inner, use_bias=False, name="to_v", head_split=hs)(context)
+        from jax.ad_checkpoint import checkpoint_name
+
+        # "qkv_out": the remat="attn_ff_qkv" tier saves the projection
+        # outputs so the checkpoint replay skips the to_q/to_k/to_v matmuls
+        # (3 of the 12 C²T matmuls the attn_ff replay still recomputes;
+        # cross-attn k/v are T_ctx-sized, nearly free to save)
+        q = checkpoint_name(
+            L.Linear(inner, use_bias=False, name="to_q", head_split=hs)(x), "qkv_out")
+        k = checkpoint_name(
+            L.Linear(inner, use_bias=False, name="to_k", head_split=hs)(context), "qkv_out")
+        v = checkpoint_name(
+            L.Linear(inner, use_bias=False, name="to_v", head_split=hs)(context), "qkv_out")
         b, tq = x.shape[0], x.shape[1]
         from ..ops.attention import dot_product_attention as dpa
 
@@ -300,6 +309,16 @@ class UNet2DConditionModel(nn.Module):
             "attn_ff_norm_geglu": (
                 "attn_out", "attn_lse", "ff_out", "attn_proj_out", "norm_out",
                 "geglu_out",
+            ),
+            # + q/k/v projection outputs: the replay skips to_q/to_k/to_v
+            # (self-attn q,k,v are 3·C·T each; cross-attn q is C·T and its
+            # k/v are context-sized, nearly free)
+            "attn_ff_qkv": (
+                "attn_out", "attn_lse", "ff_out", "attn_proj_out", "qkv_out"
+            ),
+            "attn_ff_qkv_norm": (
+                "attn_out", "attn_lse", "ff_out", "attn_proj_out", "qkv_out",
+                "norm_out",
             ),
         }
         if cfg.remat in _TIERS:

@@ -70,7 +70,15 @@ def test_sdxl_topology_lokr_wrap(rng):
 
 
 @pytest.mark.parametrize(
-    "tier", ["attn_out", "attn_ff", "attn_ff_norm", "attn_ff_norm_geglu"]
+    "tier",
+    [
+        "attn_out",
+        "attn_ff",
+        "attn_ff_norm",
+        "attn_ff_norm_geglu",
+        "attn_ff_qkv",
+        "attn_ff_qkv_norm",
+    ],
 )
 def test_remat_tiers_match_no_remat_grads(rng, tier):
     """Named-save remat tiers are a pure memory/recompute trade: loss and
