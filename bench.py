@@ -226,10 +226,12 @@ def _flops_probe_main():
 
 def _derive_sdxl(sdxl, algo, sps_x, sdxl_batch, sd15, sd15_batch, ref):
     ratio, src = flops_ratio_live(algo)
-    derived_examples = ref * sd15_batch / ratio  # 4090 examples/sec at SDXL FLOPs
+    # the 4090 row is it/s at batch 8 — its examples/s is ref*8 regardless of
+    # what batch OUR sd15 leg ran at
+    derived_examples = ref * 8 / ratio  # 4090 examples/sec at SDXL FLOPs
     sdxl["vs_baseline"] = round(sps_x * sdxl_batch / derived_examples, 4)
     sdxl["baseline_derivation"] = (
-        f"4090 {algo} SD1.5 {ref} it/s*b{sd15_batch} scaled by the "
+        f"4090 {algo} SD1.5 {ref} it/s*b8 scaled by the "
         f"per-example no-remat step-FLOPs ratio {ratio:.2f} ({src}); "
         "reference publishes no SDXL throughput"
     )
@@ -278,7 +280,7 @@ def main():
             sps_h = run_case(True, "loha", sdxl_batch, iters)
             ratio_h, _ = flops_ratio_live("loha")
             ref_h = REFERENCE_IT_PER_S["loha"]
-            derived_h = ref_h * sd15_batch / ratio_h
+            derived_h = ref_h * 8 / ratio_h
             sdxl["sdxl_loha_steps_per_sec"] = round(sps_h, 4)
             sdxl["sdxl_loha_vs_baseline"] = round(sps_h * sdxl_batch / derived_h, 4)
         except Exception as e:

@@ -429,6 +429,13 @@ def group_norm(x: jax.Array, num_groups: int, weight=None, bias=None, eps: float
         from ..ops.group_norm_v2 import group_norm_act as _gn2
 
         return _gn2(x, num_groups, weight, bias, eps)
+    return _group_norm_jnp(x, num_groups, weight, bias, eps)
+
+
+def _group_norm_jnp(x, num_groups, weight=None, bias=None, eps: float = 1e-5):
+    """The reshape-free jnp formulation (see :func:`group_norm`). Separate so
+    kernel fallbacks can call it WITHOUT re-entering the env-flag dispatch
+    (fused2's unsupported-shape fallback would otherwise recurse)."""
     n, c, *spatial = x.shape
     cg = c // num_groups
     sp_axes = tuple(range(2, x.ndim))

@@ -252,7 +252,9 @@ def group_norm_act(x, num_groups, weight=None, bias=None, eps: float = 1e-5,
     """Fused GroupNorm(+activation), layout-native kernels. Caller should
     check :func:`supported`; falls back to the jnp form otherwise."""
     if not supported(x.shape):
-        from ..functional.general import group_norm as _jnp_gn
+        # call the jnp math directly — general.group_norm would re-dispatch
+        # here under LYCORIS_TPU_GN=fused2 and recurse
+        from ..functional.general import _group_norm_jnp as _jnp_gn
 
         y = _jnp_gn(x, num_groups, weight, bias, eps)
         return _act_fwd(y.astype(jnp.float32), act).astype(y.dtype) if act else y

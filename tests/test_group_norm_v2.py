@@ -25,6 +25,7 @@ def interpret():
 @pytest.mark.parametrize("shape,groups", [
     ((2, 64, 16, 16), 32),
     ((3, 96, 32, 8), 32),  # cg=3, uneven N
+    ((2, 160, 32, 32), 32),  # s=1024 -> multi-block grid (accumulation path)
 ])
 @pytest.mark.parametrize("act", [None, "silu"])
 def test_gn_v2_fwd_bwd_parity(shape, groups, act):
