@@ -159,10 +159,13 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        # GEGLU (diffusers net.0.proj + net.2)
+        # GEGLU (diffusers net.0.proj + net.2); custom-vjp gate product — the
+        # naive split's backward concat materializes as pad+maximum fusions
+        # (19 ms/step on SDXL b4, functional.general.geglu_mul docstring)
+        from ..functional.general import geglu_mul
+
         h = L.Linear(inner * 2, name="net_0_proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        h = h * jax.nn.gelu(gate)
+        h = geglu_mul(h)
         from jax.ad_checkpoint import checkpoint_name
 
         # "geglu_out" (4C·T — the block's biggest saveable): replay skips the

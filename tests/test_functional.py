@@ -208,3 +208,32 @@ def test_conv_dw_shifts_grad_parity(monkeypatch):
 
     g2 = jax.grad(loss2)(x, w)
     assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_geglu_mul_matches_split_form():
+    """geglu_mul (custom-vjp GEGLU gate product, DUS-based backward concat)
+    must match the naive split+gelu form for values and grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lycoris_tpu.functional.general import geglu_mul
+
+    x = jax.random.normal(jax.random.key(0), (3, 17, 64), jnp.float32)
+    dy = jax.random.normal(jax.random.key(1), (3, 17, 32), jnp.float32)
+
+    def ref(h):
+        a, g = jnp.split(h, 2, axis=-1)
+        return a * jax.nn.gelu(g)
+
+    np.testing.assert_allclose(
+        np.asarray(geglu_mul(x)), np.asarray(ref(x)), rtol=1e-6, atol=1e-6
+    )
+    g1 = jax.grad(lambda h: jnp.sum(geglu_mul(h) * dy))(x)
+    g2 = jax.grad(lambda h: jnp.sum(ref(h) * dy))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+    # under jax.checkpoint (the UNet wraps transformers in remat tiers) the
+    # custom vjp must still produce identical grads
+    g3 = jax.grad(lambda h: jnp.sum(jax.checkpoint(geglu_mul)(h) * dy))(x)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g2), rtol=1e-5, atol=1e-6)
