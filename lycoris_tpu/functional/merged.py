@@ -164,14 +164,31 @@ def lokr_dtheta(x2d, dy2d, w1_full, w2_full, w2_ab=None, want_scalar=False):
 
     if w2_ab is not None:
         a_f, b_f = w2_ab  # A (u, r), B (r, v)
-        s = _e("nqv,rv->nqr", x3, b_f)
-        t = _e("npu,ur->npr", dy3, a_f)
-        dW1 = _dw1("npr,nqr->npq", t, s)
-        qs = _e("pq,nqr->npr", w1_full, s)
-        dA = _e("npu,npr->ur", dy3, qs)
-        m = _e("pq,npr->nqr", w1_full, t)
-        dB = _e("nqr,nqv->rv", m, x3)
-        d_scalar = jnp.sum(t * qs) if want_scalar else None
+        r = a_f.shape[1]
+        # 2D-packed contractions on bitcast views. The direct einsum forms
+        # ("nqv,rv->nqr", "pq,nqr->npr", "npu,npr->ur", ...) contract middle
+        # or non-adjacent dims, so XLA relayouts the rank-3 operands between
+        # every pair — profiled ~2000 (n,8,8)-shaped copies/fusions ≈ 45
+        # ms/step on SDXL LoKr b4. Every contraction below is a plain 2D
+        # matmul whose operand views are row-major collapses (free bitcasts):
+        #   s = x·Bᵀ, t = dy·A, and the W1 contractions ride ONE tiny
+        #   K = kron(W1, I_r) (pr × qr, e.g. 64×64) built per call.
+        x2 = x3.reshape(n * q, v)      # row-major collapse — bitcast of x2d
+        dy2 = dy3.reshape(n * p, u)    # likewise of dy2d
+        s2 = _e("mv,rv->mr", x2, b_f)                             # (n·q, r)
+        t2 = _e("mu,ur->mr", dy2, a_f)                            # (n·p, r)
+        eye_r = jnp.eye(r, dtype=w1_full.dtype)
+        K = (w1_full[:, None, :, None] * eye_r[None, :, None, :]).reshape(
+            p * r, q * r
+        )
+        dW1 = _dw1("npr,nqr->npq", t2.reshape(n, p, r), s2.reshape(n, q, r))
+        qs2 = _e("mx,px->mp", s2.reshape(n, q * r), K)            # (n, p·r)
+        dA = _e("mu,mr->ur", dy2, qs2.reshape(n * p, r))
+        m2 = _e("mx,xq->mq", t2.reshape(n, p * r), K)             # (n, q·r)
+        dB = _e("mr,mv->rv", m2.reshape(n * q, r), x2)
+        d_scalar = (
+            jnp.sum(t2.reshape(n, p * r) * qs2) if want_scalar else None
+        )
         return dW1, (dA, dB), d_scalar
 
     if v <= u:  # pivot on the in side: (n, p, v) intermediates
