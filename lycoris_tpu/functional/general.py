@@ -486,37 +486,52 @@ def group_norm_act(x: jax.Array, num_groups: int, weight=None, bias=None,
 
 
 @jax.custom_vjp
-def geglu_mul(h_full: jax.Array) -> jax.Array:
-    """GEGLU gate product: ``h * gelu(gate)`` with ``h, gate = split(h_full, 2)``.
-
-    Plain autodiff of the split turns the backward concat of (dh, dgate) into
-    XLA pad+maximum fusions — TWO full-width [*, 2F] writes plus a combine
-    (profiled 19 ms/step on SDXL b4, ``pad_maximum_fusion``). The custom vjp
-    writes each half-grad into one buffer with dynamic_update_slice instead:
-    two half-width writes, no combine pass."""
+def _geglu_mul_cvjp(h_full: jax.Array) -> jax.Array:
     h, gate = jnp.split(h_full, 2, axis=-1)
     return h * jax.nn.gelu(gate)
 
 
 def _geglu_mul_fwd(h_full):
-    return geglu_mul(h_full), h_full
+    return _geglu_mul_cvjp(h_full), h_full
 
 
 def _geglu_mul_bwd(h_full, dy):
+    import os as _os
+
     f = h_full.shape[-1] // 2
     h = h_full[..., :f]
     gate = h_full[..., f:]
     g, gprime = jax.jvp(jax.nn.gelu, (gate,), (jnp.ones_like(gate),))
     dh = dy * g
     dgate = dy * h * gprime
-    zero_idx = (0,) * h_full.ndim
-    out = jnp.zeros_like(h_full)
-    out = jax.lax.dynamic_update_slice(out, dh, zero_idx)
-    out = jax.lax.dynamic_update_slice(out, dgate, zero_idx[:-1] + (f,))
+    if _os.environ.get("LYCORIS_TPU_GEGLU", "concat") == "dus":
+        zero_idx = (0,) * h_full.ndim
+        out = jnp.zeros_like(h_full)
+        out = jax.lax.dynamic_update_slice(out, dh, zero_idx)
+        out = jax.lax.dynamic_update_slice(out, dgate, zero_idx[:-1] + (f,))
+    else:
+        out = jnp.concatenate([dh, dgate], axis=-1)
     return (out,)
 
 
-geglu_mul.defvjp(_geglu_mul_fwd, _geglu_mul_bwd)
+_geglu_mul_cvjp.defvjp(_geglu_mul_fwd, _geglu_mul_bwd)
+
+
+def geglu_mul(h_full: jax.Array) -> jax.Array:
+    """GEGLU gate product: ``h * gelu(gate)`` with ``h, gate = split(h_full, 2)``.
+
+    Plain autodiff of the split turns the backward concat of (dh, dgate) into
+    XLA pad+maximum fusions — TWO full-width [*, 2F] writes plus a combine
+    (profiled 19 ms/step on SDXL b4, ``pad_maximum_fusion``). The custom vjp
+    emits an explicit concat instead (``LYCORIS_TPU_GEGLU=concat``, default)
+    or two dynamic_update_slice writes into one buffer (``=dus``);
+    ``=off`` keeps plain autodiff for A/B."""
+    import os as _os
+
+    if _os.environ.get("LYCORIS_TPU_GEGLU", "concat") == "off":
+        h, gate = jnp.split(h_full, 2, axis=-1)
+        return h * jax.nn.gelu(gate)
+    return _geglu_mul_cvjp(h_full)
 
 
 # FUNC_LIST equivalent: index by weight ndim (reference general.py:6)
