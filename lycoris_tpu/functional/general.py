@@ -504,7 +504,7 @@ def _geglu_mul_bwd(h_full, dy):
     g, gprime = jax.jvp(jax.nn.gelu, (gate,), (jnp.ones_like(gate),))
     dh = dy * g
     dgate = dy * h * gprime
-    if _os.environ.get("LYCORIS_TPU_GEGLU", "concat") == "dus":
+    if _os.environ.get("LYCORIS_TPU_GEGLU", "off") == "dus":
         zero_idx = (0,) * h_full.ndim
         out = jnp.zeros_like(h_full)
         out = jax.lax.dynamic_update_slice(out, dh, zero_idx)
@@ -523,12 +523,15 @@ def geglu_mul(h_full: jax.Array) -> jax.Array:
     Plain autodiff of the split turns the backward concat of (dh, dgate) into
     XLA pad+maximum fusions — TWO full-width [*, 2F] writes plus a combine
     (profiled 19 ms/step on SDXL b4, ``pad_maximum_fusion``). The custom vjp
-    emits an explicit concat instead (``LYCORIS_TPU_GEGLU=concat``, default)
-    or two dynamic_update_slice writes into one buffer (``=dus``);
-    ``=off`` keeps plain autodiff for A/B."""
+    emits an explicit concat instead (``LYCORIS_TPU_GEGLU=concat``)
+    or two dynamic_update_slice writes into one buffer (``=dus``).
+    Default ``off`` (plain autodiff): dus measured −4% on SD1.5 (5.775 →
+    5.543) and −11% on SDXL stacked legs — the zeros+DUS passes lose more
+    than the pad+maximum they replace; concat legs crashed the axon compiler
+    mid-compile (silent death ~10 min in, no traceback)."""
     import os as _os
 
-    if _os.environ.get("LYCORIS_TPU_GEGLU", "concat") == "off":
+    if _os.environ.get("LYCORIS_TPU_GEGLU", "off") == "off":
         h, gate = jnp.split(h_full, 2, axis=-1)
         return h * jax.nn.gelu(gate)
     return _geglu_mul_cvjp(h_full)
