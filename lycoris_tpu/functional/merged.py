@@ -165,6 +165,20 @@ def lokr_dtheta(x2d, dy2d, w1_full, w2_full, w2_ab=None, want_scalar=False):
     if w2_ab is not None:
         a_f, b_f = w2_ab  # A (u, r), B (r, v)
         r = a_f.shape[1]
+        import os
+
+        if os.environ.get("LYCORIS_TPU_LOKR_PACK", "packed") == "einsum":
+            # pre-pack rank-3 einsum forms (A/B reference point for the
+            # packed rewrite below; measured head-to-head in the r3 matrix).
+            s = _e("nqv,rv->nqr", x3, b_f)
+            t = _e("npu,ur->npr", dy3, a_f)
+            dW1 = _dw1("npr,nqr->npq", t, s)
+            qs = _e("pq,nqr->npr", w1_full, s)
+            dA = _e("npu,npr->ur", dy3, qs)
+            m = _e("pq,npr->nqr", w1_full, t)
+            dB = _e("nqr,nqv->rv", m, x3)
+            d_scalar = jnp.sum(t * qs) if want_scalar else None
+            return dW1, (dA, dB), d_scalar
         # 2D-packed contractions on bitcast views. The direct einsum forms
         # ("nqv,rv->nqr", "pq,nqr->npr", "npu,npr->ur", ...) contract middle
         # or non-adjacent dims, so XLA relayouts the rank-3 operands between
