@@ -18,7 +18,8 @@ Env knobs: BENCH_ALGO (lokr|loha|lora), BENCH_BATCH (sd15, default 8),
 BENCH_SDXL_BATCH (default 4 — best measured examples/s on the 16 GB v5e at
 1024px with transformer-only remat: b4 4.60 ex/s vs b2 4.32), BENCH_ITERS,
 BENCH_SDXL=0|1 to run only one config, BENCH_MERGED, BENCH_MERGE_MODE,
-BENCH_REMAT, LYCORIS_TPU_FLASH.
+BENCH_REMAT, BENCH_BYPASS=1 (activation-path adapters, the QLyCORIS mode),
+LYCORIS_TPU_FLASH.
 """
 
 import faulthandler
@@ -101,6 +102,9 @@ def run_case(use_sdxl: bool, algo: str, batch: int, iters: int):
     net = create_lycoris(
         graph, 1.0, linear_dim=8, linear_alpha=4.0,
         algo=algo, factor=8, rng=rng,
+        # BENCH_BYPASS=1 forces activation-path (bypass) application — the
+        # mode QLyCORIS forces — for the bypass-vs-rebuild in-train A/B
+        bypass_mode=os.environ.get("BENCH_BYPASS", "0") == "1",
     )
     LycorisNetwork.reset_preset()
     print(f"[bench] {len(net.loras)} adapter modules ({algo})", file=sys.stderr)
