@@ -38,12 +38,9 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/lycoris_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-# in-place base-weight relayout: measured +2% on SDXL b4 (1.293 -> 1.316/1.319,
-# r3 matrix legs H/I) — lets the 3.23 GiB auto_layout request pass the HBM
-# budget gate with zero steady-state overhead. Safe here because run_case
-# drops its graph/variables aliases before the trainer relayouts (the trainer
-# deletes relayouted sources). Opt out with LYCORIS_TPU_RELAYOUT_INPLACE=0.
-os.environ.setdefault("LYCORIS_TPU_RELAYOUT_INPLACE", "1")
+# in-place base-weight relayout (+2% on SDXL b4, r3 matrix legs H/I) is the
+# trainer-side DEFAULT since r4 — bench and real training share one
+# configuration. Opt out with LYCORIS_TPU_RELAYOUT_INPLACE=0.
 
 
 # RTX4090, SD1.5, batch 8, 49622 steps (docs/Guidelines.md:59-84): per-algo
@@ -115,7 +112,7 @@ def run_case(use_sdxl: bool, algo: str, batch: int, iters: int):
                           merge_mode=os.environ.get("BENCH_MERGE_MODE", "interceptor"),
                           auto_layout={"0": False, "1": True}.get(
                               os.environ.get("BENCH_AUTO_LAYOUT", ""), None))
-    if os.environ.get("LYCORIS_TPU_RELAYOUT_INPLACE", "0") == "1":
+    if os.environ.get("LYCORIS_TPU_RELAYOUT_INPLACE", "1") == "1":
         # in-place relayout frees the source buffers — drop our aliases so the
         # trainer's copies are the only owners (graph/variables aren't used
         # after this point in the bench; merge_to is never called here)

@@ -167,9 +167,14 @@ def lokr_dtheta(x2d, dy2d, w1_full, w2_full, w2_ab=None, want_scalar=False):
         r = a_f.shape[1]
         import os
 
-        if os.environ.get("LYCORIS_TPU_LOKR_PACK", "packed") == "einsum":
-            # pre-pack rank-3 einsum forms (A/B reference point for the
-            # packed rewrite below; measured head-to-head in the r3 matrix).
+        if os.environ.get("LYCORIS_TPU_LOKR_PACK", "einsum") != "packed":
+            # factored rank-3 einsum forms — the measured DEFAULT. Warm-cache
+            # v5e A/B (r3F/r4 matrix): SDXL LoKr b4 einsum 1.319 steps/s vs
+            # packed 1.199 (−9%); SD1.5 b8 einsum ~5.78 vs packed 5.68. The
+            # packed 2D rewrite below kills the rank-3 relayout copies it
+            # targets but its kron(W1, I_r) contraction does q× the FLOPs —
+            # net loss at SD shapes. Kept as LYCORIS_TPU_LOKR_PACK=packed
+            # (parity-tested) for future A/Bs at other factor sizes.
             s = _e("nqv,rv->nqr", x3, b_f)
             t = _e("npu,ur->npr", dy3, a_f)
             dW1 = _dw1("npr,nqr->npq", t, s)

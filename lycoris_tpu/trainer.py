@@ -290,14 +290,18 @@ class DiffusionTrainer:
         )
         moved_bytes = sum(jax.tree_util.tree_leaves(moved))
         budget = float(os.environ.get("LYCORIS_TPU_RELAYOUT_BUDGET_GB", "1.5"))
-        # LYCORIS_TPU_RELAYOUT_INPLACE=1: relayout tensor-by-tensor and FREE
-        # each source immediately, so steady-state extra HBM ≈ 0 (transient =
-        # one tensor ≤ ~30 MB). This invalidates any outside aliases of the
-        # caller's param tree — the caller must have dropped them (bench.py
-        # does). Motivation: the SDXL profile shows ~38 ms/step of per-step
+        # LYCORIS_TPU_RELAYOUT_INPLACE (default ON, r3-ADOPTED +2% on SDXL
+        # b4 1.293→1.316/1.319): relayout tensor-by-tensor and FREE each
+        # source immediately, so steady-state extra HBM ≈ 0 (transient = one
+        # tensor ≤ ~30 MB). Semantics match jit donation: any outside alias
+        # of a relayouted base leaf is invalidated (loud "deleted array"
+        # error, not corruption) — only reachable here under auto_layout,
+        # i.e. single-device meshes. Opt out with
+        # LYCORIS_TPU_RELAYOUT_INPLACE=0 (keeps the budget-gated aliased
+        # copy). Motivation: the SDXL profile shows ~38 ms/step of per-step
         # weight relayout copies ([10240,1280]{0,1} etc) feeding the matmul
         # fusions when the budget gate declines the 3.23 GiB aliased copy.
-        inplace = os.environ.get("LYCORIS_TPU_RELAYOUT_INPLACE", "0") == "1"
+        inplace = os.environ.get("LYCORIS_TPU_RELAYOUT_INPLACE", "1") == "1"
         if moved_bytes > budget * 2**30 and not inplace:
             from .logging import logger
 

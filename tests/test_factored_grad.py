@@ -101,10 +101,17 @@ def test_locon_factored_grads(use_scalar, apply_kind):
     _compare(m, apply_kind=apply_kind)
 
 
+@pytest.mark.parametrize("lokr_pack", ["einsum", "packed"])
 @pytest.mark.parametrize("decompose_both", [False, True])
 @pytest.mark.parametrize("full_matrix", [False, True])
 @pytest.mark.parametrize("apply_kind", ["linear", "head_split"])
-def test_lokr_factored_grads(decompose_both, full_matrix, apply_kind):
+def test_lokr_factored_grads(monkeypatch, lokr_pack, decompose_both,
+                             full_matrix, apply_kind):
+    # both LYCORIS_TPU_LOKR_PACK branches (merged.py lokr_dtheta: factored
+    # rank-3 einsums — the measured default — vs the 2D-packed kron(W1,I_r)
+    # rewrite) must match plain autodiff; the branch only dispatches when w2
+    # is decomposed (full_matrix=False legs)
+    monkeypatch.setenv("LYCORIS_TPU_LOKR_PACK", lokr_pack)
     # decompose_both only triggers when lora_dim < max(out_l, in_m)/2
     dim = 1 if decompose_both else 2
     m = _noise(LokrModule("t", LI, lora_dim=dim, alpha=2, factor=4,

@@ -210,14 +210,19 @@ def test_conv_dw_shifts_grad_parity(monkeypatch):
     assert np.isfinite(np.asarray(g2)).all()
 
 
-def test_geglu_mul_matches_split_form():
-    """geglu_mul (custom-vjp GEGLU gate product, DUS-based backward concat)
-    must match the naive split+gelu form for values and grads."""
+@pytest.mark.parametrize("geglu_mode", ["off", "dus", "concat"])
+def test_geglu_mul_matches_split_form(monkeypatch, geglu_mode):
+    """geglu_mul must match the naive split+gelu form for values and grads in
+    EVERY LYCORIS_TPU_GEGLU mode: 'off' (plain autodiff — the default),
+    'dus'/'concat' (the _geglu_mul_cvjp custom vjp with DUS- or concat-based
+    backward combine), including under jax.checkpoint."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from lycoris_tpu.functional.general import geglu_mul
+
+    monkeypatch.setenv("LYCORIS_TPU_GEGLU", geglu_mode)
 
     x = jax.random.normal(jax.random.key(0), (3, 17, 64), jnp.float32)
     dy = jax.random.normal(jax.random.key(1), (3, 17, 32), jnp.float32)
