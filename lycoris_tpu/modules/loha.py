@@ -11,6 +11,15 @@ Parity contract with reference lycoris/modules/loha.py (LohaModule):
   reference's get_diff_weight double-γ quirk (loha.py:228-233) is kept for
   file-format parity since ΔW=0 at init makes it invisible — documented in
   SURVEY §2.2; forward semantics follow the reference forward path exactly.
+
+No ``factored_merged_fns`` (the dense-dW-free merged backward LoRA/LoKr
+have): ΔW = (w1a·w1b) ∘ (w2a·w2b) is ELEMENTWISE in weight space, so every
+factor cotangent needs the dense moment M = dyᵀ·x entry-wise — e.g.
+d(w1a)[o,r] = Σ_i M[o,i]·W2[o,i]·w1b[r,i]. Reordering that contraction to
+avoid materializing M costs N·out·in·r FLOPs (the three-operand i-sum per
+(n,o,r)) vs the single N·out·in dense matmul — r× MORE work, not less.
+Plain autodiff (one MXU dW matmul + tiny hada VJP) is the optimum here;
+measured confirmation in docs/Guidelines.md (round-4 LoHa pass).
 """
 
 from __future__ import annotations

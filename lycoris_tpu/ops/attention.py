@@ -95,11 +95,17 @@ def dot_product_attention(q, k, v, layout="BTHD"):
             else:
                 bq = 256 if d <= 48 else 512
                 bk, bqb, bkb = 512, bq, 1024
-            if os.environ.get("LYCORIS_TPU_FLASH_DT", "0") == "1":
+            if os.environ.get("LYCORIS_TPU_FLASH_DT", "0") == "1" and tq >= 2048:
                 # D-major kernel: operands pass (B, H, D, T) — the logical
                 # swap matches the T-minor layout the head-split projections
                 # physically emit, so the custom-call boundary needs no HBM
-                # relayout copies (x306/step on SDXL, ~18 ms)
+                # relayout copies (x306/step on SDXL, ~18 ms).
+                # Gated to tq >= 2048: the projection-sandwich microbench
+                # (tools/profiling/bench_dt.py, v5e) measures dt +18.9% at
+                # (B4 H10 T4096 D64) but -18.4% at (B4 H20 T1024 D64), and
+                # the r3 "dies mid-compile" crash repro'd as an EXECUTION
+                # hang only at the T1024 tier under remat (attn_ff policy,
+                # tools/profiling/repro_compile_crash.py REPRO_CH=1280).
                 tr = lambda x: jnp.swapaxes(to_bhtd(x), -1, -2)
                 o_t = flash.flash_attention_remat_dt(
                     tr(q), tr(k), tr(v), sm_scale, block_q=bq, block_k=bk,
