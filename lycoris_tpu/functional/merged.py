@@ -59,15 +59,40 @@ def _e(spec, *ops):
     return jnp.einsum(spec, *ops, preferred_element_type=jnp.float32)
 
 
-def worth_factoring(out_dim: int, in_dim: int, threshold: int = 512) -> bool:
+def worth_factoring(out_dim: int, in_dim: int, threshold: int = 512,
+                    n_tokens: int | None = None) -> bool:
     """Roofline gate: the factored backward trades the dense dW matmul
     (N·in·out MXU FLOPs) for ~4 extra HBM passes over x/dy (N·(in+out)
     bytes·4). Both scale with N, so the crossover is the harmonic dimension
     in·out/(in+out) against FLOP/byte balance. Measured on v5e: SD1.5's
     320/640-channel layers (harmonic ≤ 320) LOSE (5.79→5.07 steps/s when
     factored unconditionally); SDXL's 1280+-channel layers (harmonic ≥ 569)
-    are where the dense dW bucket's 106 ms/step lives."""
-    return (out_dim * in_dim) // (out_dim + in_dim) >= threshold
+    are where the dense dW bucket's 106 ms/step lives.
+
+    ``n_tokens`` adds an opt-in absolute-FLOPs gate: the factored chain
+    costs a roughly FIXED per-module overhead (~10 tiny einsum/reshape/
+    convert ops, ~0.1-0.15 ms of dispatch+relayout measured in the SDXL r3e
+    trace — the [4096,8,8]/[32768,8] storm, ~70-90 ms/step over the ~480
+    square-module applications), while the dense dW it replaces costs
+    2·N·out·in MXU FLOPs (~0.07 ms for 1280² at N=4096, i.e. LESS than the
+    overhead). With LYCORIS_TPU_FACTORED_GFLOP=G (default 0 = disabled),
+    factoring additionally requires 2·N·out·in ≥ G·1e9.
+
+    Measured r4 A/B on v5e (warm cache): harmonic threshold 512→1024 is the
+    ADOPTED default — SDXL LoKr b4 1.3172 → 1.3437 (+2.0%), SD1.5 b8
+    5.799 → 5.8959 (+1.7%). The GFLOP gate at G=25 (which keeps the
+    640-tier ff layers' 107-GFLOP dense dW factored where threshold-1024
+    flips them dense) measured 1.3117 — WORSE than both, so even
+    big-dense-dW ff layers prefer the dense path; the gate ships disabled
+    and is kept only as an experiment knob."""
+    import os
+
+    if (out_dim * in_dim) // (out_dim + in_dim) < threshold:
+        return False
+    if n_tokens is None:
+        return True
+    gflop_min = float(os.environ.get("LYCORIS_TPU_FACTORED_GFLOP", "0"))
+    return 2.0 * n_tokens * out_dim * in_dim >= gflop_min * 1e9
 
 
 def factored_merged_apply(x, w, b, theta, *, recon_fn, dtheta_fn, apply_fn,

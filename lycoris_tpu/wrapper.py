@@ -665,7 +665,12 @@ class LycorisNetwork:
                     fns = None
                     if fm.worth_factoring(
                         out_dim, in_dim,
-                        int(os.environ.get("LYCORIS_TPU_FACTORED_MIN", "512")),
+                        # default 1024: r4 warm-cache A/B SDXL 1.3172→1.3437
+                        # (+2.0%) / SD1.5 5.799→5.8959 (+1.7%) vs 512 — the
+                        # harmonic-[512,1024) tiers (square-1280, 640-tier
+                        # ff) prefer the dense dW.
+                        int(os.environ.get("LYCORIS_TPU_FACTORED_MIN", "1024")),
+                        n_tokens=x.size // x.shape[-1],
                     ):
                         fns = getattr(lyco, "factored_merged_fns", None)
                         fns = fns(mult) if fns is not None else None

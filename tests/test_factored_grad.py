@@ -162,7 +162,7 @@ def test_unsupported_configs_fall_back():
                       rng=jax.random.key(0)).factored_merged_fns(1.0) is None
 
 
-def test_worth_factoring_gate():
+def test_worth_factoring_gate(monkeypatch):
     from lycoris_tpu.functional.merged import worth_factoring
 
     # SD1.5-scale layers stay on the dense path, SDXL-scale go factored
@@ -173,6 +173,27 @@ def test_worth_factoring_gate():
     assert worth_factoring(10240, 1280)
     assert worth_factoring(5120, 640)
     assert worth_factoring(24, 16, threshold=0)
+
+    # shipped default threshold is 1024 (wrapper.py LYCORIS_TPU_FACTORED_MIN):
+    # the harmonic-[512,1024) tiers (square-1280, 640-tier ff) flip dense
+    assert not worth_factoring(1280, 1280, threshold=1024)
+    assert not worth_factoring(5120, 640, threshold=1024)
+    assert worth_factoring(10240, 1280, threshold=1024)
+    assert worth_factoring(1280, 5120, threshold=1024)
+
+    # opt-in absolute-FLOPs gate (LYCORIS_TPU_FACTORED_GFLOP; default 0 =
+    # disabled, measured-rejected at 25: SDXL 1.3117 vs 1.3437 for plain
+    # threshold-1024): with G=25, square 1280 at T=4096 (13.4 GFLOP dense
+    # dW) flips dense while the fat ff contractions (>=53 GFLOP) stay.
+    assert worth_factoring(1280, 1280, n_tokens=4096)  # default: disabled
+    monkeypatch.setenv("LYCORIS_TPU_FACTORED_GFLOP", "25")
+    assert not worth_factoring(1280, 1280, n_tokens=4096)
+    assert worth_factoring(10240, 1280, n_tokens=4096)
+    assert worth_factoring(1280, 5120, n_tokens=4096)
+    assert worth_factoring(5120, 640, n_tokens=16384)
+    assert not worth_factoring(1280, 2048, n_tokens=308)  # cross-attn kv
+    # n_tokens=None keeps the harmonic-only behavior regardless of G
+    assert worth_factoring(1280, 1280, n_tokens=None)
 
 
 def test_wrapper_train_grads_match(monkeypatch):
@@ -206,6 +227,7 @@ def test_wrapper_train_grads_match(monkeypatch):
     }
 
     monkeypatch.setenv("LYCORIS_TPU_FACTORED_MIN", "0")  # tiny test dims
+    monkeypatch.setenv("LYCORIS_TPU_FACTORED_GFLOP", "0")  # r4 N-aware gate
 
     def loss(tree, factored):
         monkeypatch.setenv("LYCORIS_TPU_FACTORED_GRAD", "1" if factored else "0")
