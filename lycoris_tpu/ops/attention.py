@@ -95,11 +95,14 @@ def dot_product_attention(q, k, v, layout="BTHD"):
             else:
                 bq = 256 if d <= 48 else 512
                 bk, bqb, bkb = 512, bq, 1024
-            if os.environ.get("LYCORIS_TPU_FLASH_DT", "0") == "1" and tq >= 2048:
+            if os.environ.get("LYCORIS_TPU_FLASH_DT", "1") == "1" and tq >= 2048:
                 # D-major kernel: operands pass (B, H, D, T) — the logical
                 # swap matches the T-minor layout the head-split projections
                 # physically emit, so the custom-call boundary needs no HBM
                 # relayout copies (x306/step on SDXL, ~18 ms).
+                # DEFAULT-ON since r4: warm-cache A/B on the exact shipped
+                # config measured SD1.5 b8 5.9075 -> 6.2397 (+5.6%) and SDXL
+                # b4 1.3448 -> 1.3786 (+2.5%).
                 # Gated to tq >= 2048: the projection-sandwich microbench
                 # (tools/profiling/bench_dt.py, v5e) measures dt +18.9% at
                 # (B4 H10 T4096 D64) but -18.4% at (B4 H20 T1024 D64), and
