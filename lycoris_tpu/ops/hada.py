@@ -134,11 +134,97 @@ def _hada_bwd_d_kernel(g_ref, w1u_ref, w1d_ref, w2u_ref, w2d_ref, scale_ref, g1d
     g2d_ref[:] += jnp.dot(w2u_ref[:].astype(jnp.float32).T, t2, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
 
 
-def _hada_bwd_pallas(w1d, w1u, w2d, w2u, scale, g):
+def _hada_bwd_fused1_kernel(g_ref, w1u_ref, w1d_ref, w2u_ref, w2d_ref,
+                            scale_ref, g1u_ref, g2u_ref, g1d_ref, g2d_ref):
+    """Single pass over g: all four factor grads per tile.
+
+    The u-grad outputs (O, R) and d-grad outputs (R, I) are FULL-array
+    resident (constant index_map) — at rank ≤ 64 they are a few hundred KB
+    of VMEM, so instead of two kernels with transposed grids (each
+    re-reading the whole f32 cotangent from HBM) the accumulators just stay
+    on-chip for the whole grid. Measured motive: the split backward's
+    custom-calls run ~7× off the HBM roofline on the SDXL LoHa step
+    (0.462 ms for a 52 MB g read; ~210 ms/step total across 722 modules)."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    tm, tn = g_ref.shape
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        g1u_ref[:] = jnp.zeros_like(g1u_ref)
+        g2u_ref[:] = jnp.zeros_like(g2u_ref)
+        g1d_ref[:] = jnp.zeros_like(g1d_ref)
+        g2d_ref[:] = jnp.zeros_like(g2d_ref)
+
+    g = g_ref[:].astype(jnp.float32) * scale_ref[0, 0]
+    w1u = w1u_ref[:].astype(jnp.float32)
+    w1d = w1d_ref[:].astype(jnp.float32)
+    w2u = w2u_ref[:].astype(jnp.float32)
+    w2d = w2d_ref[:].astype(jnp.float32)
+    t1 = g * jnp.dot(w2u, w2d, preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+    t2 = g * jnp.dot(w1u, w1d, preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+    rm = pl.ds(i * tm, tm)
+    rn = pl.ds(j * tn, tn)
+    g1u_ref[rm, :] += jnp.dot(t1, w1d.T, preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST)
+    g2u_ref[rm, :] += jnp.dot(t2, w2d.T, preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST)
+    g1d_ref[:, rn] += jnp.dot(w1u.T, t1, preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST)
+    g2d_ref[:, rn] += jnp.dot(w2u.T, t2, preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST)
+
+
+def _hada_bwd_fused1(w1d, w1u, w2d, w2u, scale, g, interpret=False):
     O, R = w1u.shape
     _, I = w1d.shape
     tm = _tile(O, 256)
     tn = _tile_lane(I, 512)
+    scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    kw = {"interpret": True} if interpret else {}
+    g1u, g2u, g1d, g2d = pl.pallas_call(
+        _hada_bwd_fused1_kernel,
+        grid=(O // tm, I // tn),
+        in_specs=[
+            pl.BlockSpec((tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, R), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, R), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(full((O, R)), full((O, R)), full((R, I)), full((R, I))),
+        out_shape=(
+            jax.ShapeDtypeStruct((O, R), jnp.float32),
+            jax.ShapeDtypeStruct((O, R), jnp.float32),
+            jax.ShapeDtypeStruct((R, I), jnp.float32),
+            jax.ShapeDtypeStruct((R, I), jnp.float32),
+        ),
+        **kw,
+    )(g, w1u, w1d, w2u, w2d, scale_arr)
+    return (
+        g1d.astype(w1d.dtype),
+        g1u.astype(w1u.dtype),
+        g2d.astype(w2d.dtype),
+        g2u.astype(w2u.dtype),
+    )
+
+
+def _hada_bwd_pallas(w1d, w1u, w2d, w2u, scale, g):
+    import os as _os
+
+    O, R = w1u.shape
+    _, I = w1d.shape
+    tm = _tile(O, 256)
+    tn = _tile_lane(I, 512)
+    # fused1: one pass over g, all four grads, accumulators VMEM-resident.
+    # Opt-in until the warm-cache SD1.5+SDXL LoHa A/B pair is recorded
+    # (docs/Guidelines.md flag matrix).
+    if _os.environ.get("LYCORIS_TPU_HADA_BWD", "split") == "fused1":
+        return _hada_bwd_fused1(w1d, w1u, w2d, w2u, scale, g)
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
 
     g1u, g2u = pl.pallas_call(

@@ -36,8 +36,10 @@ def interpret_pallas(monkeypatch):
     importlib.reload(lora_fused)
 
 
+@pytest.mark.parametrize("bwd_mode", ["split", "fused1"])
 @pytest.mark.parametrize("shape", [(64, 256, 8), (128, 384, 4)])
-def test_hada_pallas_fwd_bwd(interpret_pallas, shape):
+def test_hada_pallas_fwd_bwd(interpret_pallas, shape, bwd_mode, monkeypatch):
+    monkeypatch.setenv("LYCORIS_TPU_HADA_BWD", bwd_mode)
     hada = interpret_pallas
     O, I, R = shape
     k = jax.random.key(0)
