@@ -134,8 +134,7 @@ def _hada_bwd_d_kernel(g_ref, w1u_ref, w1d_ref, w2u_ref, w2d_ref, scale_ref, g1d
     g2d_ref[:] += jnp.dot(w2u_ref[:].astype(jnp.float32).T, t2, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
 
 
-def _hada_bwd_fused1_kernel(g_ref, w1u_ref, w1d_ref, w2u_ref, w2d_ref,
-                            scale_ref, g1u_ref, g2u_ref, g1d_ref, g2d_ref):
+def _make_hada_bwd_fused1_kernel(single_row: bool, single_col: bool):
     """Single pass over g: all four factor grads per tile.
 
     The u-grad outputs (O, R) and d-grad outputs (R, I) are FULL-array
@@ -144,36 +143,46 @@ def _hada_bwd_fused1_kernel(g_ref, w1u_ref, w1d_ref, w2u_ref, w2d_ref,
     re-reading the whole f32 cotangent from HBM) the accumulators just stay
     on-chip for the whole grid. Measured motive: the split backward's
     custom-calls run ~7× off the HBM roofline on the SDXL LoHa step
-    (0.462 ms for a 52 MB g read; ~210 ms/step total across 722 modules)."""
-    i, j = pl.program_id(0), pl.program_id(1)
-    tm, tn = g_ref.shape
+    (0.462 ms for a 52 MB g read; ~210 ms/step total across 722 modules).
 
-    @pl.when((i == 0) & (j == 0))
-    def _():
-        g1u_ref[:] = jnp.zeros_like(g1u_ref)
-        g2u_ref[:] = jnp.zeros_like(g2u_ref)
-        g1d_ref[:] = jnp.zeros_like(g1d_ref)
-        g2d_ref[:] = jnp.zeros_like(g2d_ref)
+    ``single_row``/``single_col``: when the tile fallback returns the FULL
+    dim (e.g. I=320 — not a multiple of 128), the grid has one block on
+    that axis and the accumulator slice must be static (`:`) — Mosaic
+    cannot prove `j*320` lane-aligned."""
 
-    g = g_ref[:].astype(jnp.float32) * scale_ref[0, 0]
-    w1u = w1u_ref[:].astype(jnp.float32)
-    w1d = w1d_ref[:].astype(jnp.float32)
-    w2u = w2u_ref[:].astype(jnp.float32)
-    w2d = w2d_ref[:].astype(jnp.float32)
-    t1 = g * jnp.dot(w2u, w2d, preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
-    t2 = g * jnp.dot(w1u, w1d, preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
-    rm = pl.ds(i * tm, tm)
-    rn = pl.ds(j * tn, tn)
-    g1u_ref[rm, :] += jnp.dot(t1, w1d.T, preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST)
-    g2u_ref[rm, :] += jnp.dot(t2, w2d.T, preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST)
-    g1d_ref[:, rn] += jnp.dot(w1u.T, t1, preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST)
-    g2d_ref[:, rn] += jnp.dot(w2u.T, t2, preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST)
+    def kernel(g_ref, w1u_ref, w1d_ref, w2u_ref, w2d_ref,
+               scale_ref, g1u_ref, g2u_ref, g1d_ref, g2d_ref):
+        i, j = pl.program_id(0), pl.program_id(1)
+        tm, tn = g_ref.shape
+
+        @pl.when((i == 0) & (j == 0))
+        def _():
+            g1u_ref[:] = jnp.zeros_like(g1u_ref)
+            g2u_ref[:] = jnp.zeros_like(g2u_ref)
+            g1d_ref[:] = jnp.zeros_like(g1d_ref)
+            g2d_ref[:] = jnp.zeros_like(g2d_ref)
+
+        g = g_ref[:].astype(jnp.float32) * scale_ref[0, 0]
+        w1u = w1u_ref[:].astype(jnp.float32)
+        w1d = w1d_ref[:].astype(jnp.float32)
+        w2u = w2u_ref[:].astype(jnp.float32)
+        w2d = w2d_ref[:].astype(jnp.float32)
+        t1 = g * jnp.dot(w2u, w2d, preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+        t2 = g * jnp.dot(w1u, w1d, preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+        rm = slice(None) if single_row else pl.ds(i * tm, tm)
+        rn = slice(None) if single_col else pl.ds(j * tn, tn)
+        g1u_ref[rm, :] += jnp.dot(t1, w1d.T, preferred_element_type=jnp.float32,
+                                  precision=lax.Precision.HIGHEST)
+        g2u_ref[rm, :] += jnp.dot(t2, w2d.T, preferred_element_type=jnp.float32,
+                                  precision=lax.Precision.HIGHEST)
+        g1d_ref[:, rn] += jnp.dot(w1u.T, t1, preferred_element_type=jnp.float32,
+                                  precision=lax.Precision.HIGHEST)
+        g2d_ref[:, rn] += jnp.dot(w2u.T, t2, preferred_element_type=jnp.float32,
+                                  precision=lax.Precision.HIGHEST)
+
+    return kernel
 
 
 def _hada_bwd_fused1(w1d, w1u, w2d, w2u, scale, g, interpret=False):
@@ -186,7 +195,7 @@ def _hada_bwd_fused1(w1d, w1u, w2d, w2u, scale, g, interpret=False):
         shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     kw = {"interpret": True} if interpret else {}
     g1u, g2u, g1d, g2d = pl.pallas_call(
-        _hada_bwd_fused1_kernel,
+        _make_hada_bwd_fused1_kernel(tm == O, tn == I),
         grid=(O // tm, I // tn),
         in_specs=[
             pl.BlockSpec((tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
