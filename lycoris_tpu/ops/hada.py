@@ -230,9 +230,10 @@ def _hada_bwd_pallas(w1d, w1u, w2d, w2u, scale, g):
     tm = _tile(O, 256)
     tn = _tile_lane(I, 512)
     # fused1: one pass over g, all four grads, accumulators VMEM-resident.
-    # Opt-in until the warm-cache SD1.5+SDXL LoHa A/B pair is recorded
-    # (docs/Guidelines.md flag matrix).
-    if _os.environ.get("LYCORIS_TPU_HADA_BWD", "split") == "fused1":
+    # DEFAULT since r4 — warm-cache A/B on the exact shipped config:
+    # SDXL LoHa b4 1.0534 -> 1.1146 (+5.8%), SD1.5 LoHa b8 5.4927 -> 5.6906
+    # (+3.6%). `split` keeps the two-kernel transposed-grid form.
+    if _os.environ.get("LYCORIS_TPU_HADA_BWD", "fused1") == "fused1":
         return _hada_bwd_fused1(w1d, w1u, w2d, w2u, scale, g)
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
 
