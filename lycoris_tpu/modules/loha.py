@@ -18,8 +18,11 @@ factor cotangent needs the dense moment M = dyᵀ·x entry-wise — e.g.
 d(w1a)[o,r] = Σ_i M[o,i]·W2[o,i]·w1b[r,i]. Reordering that contraction to
 avoid materializing M costs N·out·in·r FLOPs (the three-operand i-sum per
 (n,o,r)) vs the single N·out·in dense matmul — r× MORE work, not less.
-Plain autodiff (one MXU dW matmul + tiny hada VJP) is the optimum here;
-measured confirmation in docs/Guidelines.md (round-4 LoHa pass).
+Plain autodiff (one MXU dW matmul, 81% MXU measured, + the hada VJP) is
+the optimum here. The r4 LoHa perf pass instead fused the hada VJP itself:
+the single-pass `fused1` backward kernel (ops/hada.py, default) lifted
+SDXL LoHa 1.0534→1.1146 and SD1.5 LoHa 5.4927→5.6906 — see the
+docs/Guidelines.md flag matrix (`LYCORIS_TPU_HADA_BWD`).
 """
 
 from __future__ import annotations
