@@ -98,7 +98,9 @@ def run_case(use_sdxl: bool, algo: str, batch: int, iters: int):
     LycorisNetwork.apply_preset({"target_module": ["Transformer2DModel"]})
     net = create_lycoris(
         graph, 1.0, linear_dim=8, linear_alpha=4.0,
-        algo=algo, factor=8, rng=rng,
+        # BENCH_FACTOR: boft needs 16 at the 320-wide layers
+        # (power2factorization); lokr keeps the reference row's 8
+        algo=algo, factor=int(os.environ.get("BENCH_FACTOR", "8")), rng=rng,
         # BENCH_BYPASS=1 forces activation-path (bypass) application — the
         # mode QLyCORIS forces — for the bypass-vs-rebuild in-train A/B
         bypass_mode=os.environ.get("BENCH_BYPASS", "0") == "1",

@@ -189,6 +189,10 @@ def bypass_forward_diff(h, org_out, *weights, gamma=1.0, extra_args={}):
 def bypass_diff_with_scale(h, *weights, scale=1.0, extra_args={}):
     """Core of the kron bypass with an explicit output scale (module layer
     passes α/r·scalar·multiplier directly; see modules/lokr.py)."""
+    # activation-path application runs in the activation dtype (like every
+    # other module's bypass_forward_diff); lax.conv rejects mixed operand
+    # dtypes (bf16 h × f32 factors) outright — r4 bypass-bench crash
+    weights = tuple(None if w is None else w.astype(h.dtype) for w in weights)
     w1, w1a, w1b, w2, w2a, w2b, t = weights
     use_w1 = w1 is not None
     use_w2 = w2 is not None
@@ -250,4 +254,6 @@ def bypass_diff_with_scale(h, *weights, scale=1.0, extra_args={}):
         hc = jnp.swapaxes(hc, -1, -2)
         out = hc.reshape(*hc.shape[:-2], -1)
 
-    return out * scale
+    # scale may be a f32 scalar array (α/r·scalar·multiplier) — keep the
+    # result in the activation dtype
+    return (out * scale).astype(h.dtype)

@@ -165,9 +165,11 @@ class DiagOFTModule(LycorisBaseModule):
             constraint=self.constraint if self.constraint > 0 else None,
             need_transpose=self.layer.is_conv,
         )
-        out = org_out + delta * scale
+        # the Cayley/rotation math runs in f32 (numerics); the result joins
+        # the activation path in the activation dtype
+        out = org_out + (delta * scale).astype(org_out.dtype)
         if diff:
-            return delta * scale
+            return (delta * scale).astype(org_out.dtype)
         return out
 
     def bypass_forward_diff(self, x, params=None, scale=1.0, org_forward=None, rng=None, train=False):

@@ -215,8 +215,10 @@ class GLoRAModule(LycorisBaseModule):
         # We apply the effective scale (α/r · scalar · multiplier) exactly once
         # so bypass ≡ rebuild (module-level diff-vs-bypass parity gate).
         s = self.scale * self._p(params, "scalar") * scale
-        ax_mid = self._plain_op(x, self._p(params, "a2.weight"))
-        bx_mid = self._down_op(x, self._p(params, "b2.weight"))
+        # activation-path math in activation dtype (bf16 in-train); lax.conv
+        # rejects mixed operand dtypes outright
+        ax_mid = self._plain_op(x, self._p(params, "a2.weight").astype(x.dtype))
+        bx_mid = self._down_op(x, self._p(params, "b2.weight").astype(x.dtype))
 
         if self.rank_dropout and train and rng is not None:
             da = rank_dropout_mask(
@@ -236,10 +238,10 @@ class GLoRAModule(LycorisBaseModule):
             ax_mid = ax_mid * da
             bx_mid = bx_mid * db
 
-        a_out = self._plain_op(ax_mid, self._p(params, "a1.weight")) * s
+        a_out = (self._plain_op(ax_mid, self._p(params, "a1.weight").astype(x.dtype)) * s).astype(x.dtype)
         if self.tucker:
-            bx_mid = self._down_op(bx_mid, self._p(params, "bm.weight"))
-        b_out = self._plain_op(bx_mid, self._p(params, "b1.weight")) * s
+            bx_mid = self._down_op(bx_mid, self._p(params, "bm.weight").astype(x.dtype))
+        b_out = (self._plain_op(bx_mid, self._p(params, "b1.weight").astype(x.dtype)) * s).astype(x.dtype)
         if self.dropout and train and rng is not None:
             a_out = traced_dropout(jax.random.fold_in(rng, 0x64611), a_out, self.dropout)
             b_out = traced_dropout(jax.random.fold_in(rng, 0x64622), b_out, self.dropout)

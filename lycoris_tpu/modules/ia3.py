@@ -93,7 +93,8 @@ class IA3Module(LycorisBaseModule):
         return {"weight": src["weight"], "on_input": src["on_input"]}
 
     def _bypass(self, x, params, scale, org_forward, diff):
-        weight = self._p(params, "weight") * scale + (0 if diff else 1)
+        # activation-path math in activation dtype (bf16 in-train)
+        weight = (self._p(params, "weight") * scale + (0 if diff else 1)).astype(x.dtype)
         if self.train_input:
             w = weight.reshape(*weight.shape) if not self.layer.is_conv else weight
             x = x * (w if self.layer.is_conv else weight)

@@ -299,10 +299,15 @@ class LoConModule(LycorisBaseModule):
         return convnd(x, w)
 
     def bypass_forward_diff(self, x, params=None, scale=1.0, org_forward=None, rng=None, train=False):
-        down_w = self._p(params, "lora_down.weight")
-        up_w = self._p(params, "lora_up.weight")
+        # activation-path math runs in the activation dtype (bf16 in-train);
+        # lax.conv rejects mixed operand dtypes outright
+        down_w = self._p(params, "lora_down.weight").astype(x.dtype)
+        up_w = self._p(params, "lora_up.weight").astype(x.dtype)
         if self.tucker:
-            mid = self._down_op(self._plain_op(x, down_w), self._p(params, "lora_mid.weight"))
+            mid = self._down_op(
+                self._plain_op(x, down_w),
+                self._p(params, "lora_mid.weight").astype(x.dtype),
+            )
         else:
             mid = self._down_op(x, down_w)
 
@@ -321,6 +326,7 @@ class LoConModule(LycorisBaseModule):
             mid = mid * drop
 
         out = self._plain_op(mid, up_w) * self._p(params, "scalar") * self.scale * scale
+        out = out.astype(x.dtype)
         if self.dropout and train and rng is not None:
             out = traced_dropout(jax.random.fold_in(rng, 0x64726F70), out, self.dropout)
         return out

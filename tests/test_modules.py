@@ -377,3 +377,24 @@ def test_merged_weight_matches_reference(algo, layer, ref):
     j_merged = np.asarray(j_mod.get_merged_weight(w)[0])
     assert np.max(np.abs(j_merged - r_merged)) <= 1e-3  # BASELINE gate
     np.testing.assert_allclose(j_merged, r_merged, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("layer", ["linear", "conv2d"])
+@pytest.mark.parametrize("algo", ["locon", "loha", "lokr", "ia3", "glora", "diag_oft", "boft"])
+def test_bypass_bf16_activations(algo, layer, rng):
+    """Bypass path with bf16 activations over f32 adapter params — the
+    in-train configuration (weight_dtype=bf16, adapters f32). lax.conv
+    rejects mixed operand dtypes, so every bypass op must cast its factors
+    to the activation dtype (r4 LoKr-conv bypass bench crash)."""
+    layer_info, x_shape = LAYERS[layer]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    w = jax.random.normal(k1, layer_info.shape, jnp.bfloat16)
+    x = jax.random.normal(k2, x_shape, jnp.bfloat16)
+    mod = _make(algo, layer_info, w)
+    params = _noise(mod, k3)
+    org_forward = lambda z: layer_info.op(z, w)
+    bypassed = mod.bypass_forward(x, params=params, scale=1.0, org_forward=org_forward)
+    assert bypassed.dtype == jnp.bfloat16
+    rebuilt = mod.forward(x, org_weight=w, params=params)
+    mse = float(jnp.mean((rebuilt.astype(jnp.float32) - bypassed.astype(jnp.float32)) ** 2))
+    assert mse < 5e-2, f"{algo}/{layer} bf16 bypass mse={mse}"

@@ -46,7 +46,9 @@ def build_trainer():
         variables)
     graph = ModelGraph.from_linen(model, variables, latents, t, ctx)
     LycorisNetwork.apply_preset({"target_module": ["Transformer2DModel"]})
-    net = create_lycoris(graph, 1.0, linear_dim=8, linear_alpha=4.0, algo=algo, factor=8, rng=rng)
+    net = create_lycoris(graph, 1.0, linear_dim=8, linear_alpha=4.0, algo=algo,
+                         factor=int(os.environ.get("BENCH_FACTOR", "8")), rng=rng,
+                         bypass_mode=os.environ.get("BENCH_BYPASS", "0") == "1")
     LycorisNetwork.reset_preset()
     tr = DiffusionTrainer(model, variables, net, lr=1e-4, mesh=shd.make_mesh(),
                           weight_dtype=jnp.bfloat16,
