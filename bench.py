@@ -53,6 +53,13 @@ REFERENCE_IT_PER_S = {"lora": 3.45, "loha": 3.31, "lokr": 3.76}
 FALLBACK_FLOPS_RATIO = 10.18
 
 
+def bench_dim(algo: str) -> int:
+    """BENCH_DIM: boft needs linear_dim=16 — its butterfly block size is the
+    dim, and power2factorization(320, 8) has no valid split; other algos keep
+    the reference row's dim 8 (alpha = dim/2 preserves the reference ratio)."""
+    return int(os.environ.get("BENCH_DIM", "16" if algo == "boft" else "8"))
+
+
 def run_case(use_sdxl: bool, algo: str, batch: int, iters: int):
     from lycoris_tpu import LycorisNetwork, ModelGraph, create_lycoris
     from lycoris_tpu.models.unet import UNet2DConditionModel, sd15_config, sdxl_config
@@ -96,10 +103,9 @@ def run_case(use_sdxl: bool, algo: str, batch: int, iters: int):
     # attn-mlp workload: adapt ONLY the transformer blocks, matching the
     # reference's benchmark row (docs/Guidelines.md:62 "LoRA attn-mlp dim8")
     LycorisNetwork.apply_preset({"target_module": ["Transformer2DModel"]})
+    dim = bench_dim(algo)
     net = create_lycoris(
-        graph, 1.0, linear_dim=8, linear_alpha=4.0,
-        # BENCH_FACTOR: boft needs 16 at the 320-wide layers
-        # (power2factorization); lokr keeps the reference row's 8
+        graph, 1.0, linear_dim=dim, linear_alpha=dim / 2.0,
         algo=algo, factor=int(os.environ.get("BENCH_FACTOR", "8")), rng=rng,
         # BENCH_BYPASS=1 forces activation-path (bypass) application — the
         # mode QLyCORIS forces — for the bypass-vs-rebuild in-train A/B
@@ -263,7 +269,7 @@ def main():
     if mode != "1":
         sps = run_case(False, algo, sd15_batch, iters)
         sd15 = {
-            "metric": f"sd15-{algo}-attnmlp-dim8-b{sd15_batch} train steps/sec/chip",
+            "metric": f"sd15-{algo}-attnmlp-dim{bench_dim(algo)}-b{sd15_batch} train steps/sec/chip",
             "value": round(sps, 4),
             "unit": "steps/sec/chip",
             # examples/sec basis so BENCH_BATCH != 8 legs stay comparable to
@@ -276,7 +282,7 @@ def main():
             return
     sps_x = run_case(True, algo, sdxl_batch, iters)
     sdxl = {
-        "metric": f"sdxl-{algo}-attnmlp-dim8-b{sdxl_batch}-1024px train steps/sec/chip",
+        "metric": f"sdxl-{algo}-attnmlp-dim{bench_dim(algo)}-b{sdxl_batch}-1024px train steps/sec/chip",
         "value": round(sps_x, 4),
         "unit": "steps/sec/chip",
     }

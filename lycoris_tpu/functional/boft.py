@@ -17,6 +17,8 @@ reshape/transpose/batched-matmul: MXU-friendly, no gathers.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -79,15 +81,80 @@ def dense_rotation(r: jax.Array) -> jax.Array:
     return _chain(jnp.eye(dim, dtype=r.dtype), r)
 
 
-def diff_weight(org_weight: jax.Array, *weights, constraint=None) -> jax.Array:
-    oft_blocks, rescale = weights
+def _scaled_r(oft_blocks: jax.Array, constraint, scale) -> jax.Array:
+    """Cayley rotations for every level, multiplier-interpolated toward I
+    (reference boft.py level loop's ``scale`` blend). ``constraint``/``scale``
+    are STATIC (Python numbers or None — module hyperparameters)."""
     I = jnp.eye(oft_blocks.shape[-1], dtype=oft_blocks.dtype)
     r = get_r(oft_blocks, I, constraint)
-    org = org_weight.astype(r.dtype)
-    q = dense_rotation(r)
-    inp = jnp.einsum(
-        "ij,j...->i...", q, org, precision=op_precision(q, org)
-    )
+    if scale != 1:
+        r = r * scale + (1 - scale) * I
+    return r
+
+
+def _rotate_impl(inp: jax.Array, oft_blocks: jax.Array, constraint, scale,
+                 last: bool) -> jax.Array:
+    """Butterfly-rotate ``inp`` (features on axis 0, or the LAST axis when
+    ``last`` — the bypass layout), picking the cheaper of two equivalent forms
+    by static shape:
+
+    - ``cols >= dim`` (activation-like): materialize ``Q = chain(I)`` once and
+      apply it as ONE dense MXU matmul — avoids streaming the big tensor
+      through HBM m times (measured; see :func:`dense_rotation`).
+    - ``cols < dim`` (weight-like): run the m-stage chain directly on ``inp``.
+      Building Q here would materialize a (dim, dim) intermediate per stage —
+      at SD1.5's ff ``out_dim=10240`` that is 400 MB f32 × 11 stages and OOMs
+      the 16 GB chip (measured r4); the direct chain touches only (dim, cols).
+
+    The Cayley transform runs INSIDE this (checkpointed) function on purpose:
+    with get_r outside, every Gauss-Jordan iterate and the final ``r`` become
+    backward residuals in XLA's (…, b, b) tiled layout — (11, 1024, 10, 10)
+    pads 20.5× to 88 MB per copy at the SD1.5 ff layers (measured OOM, r4).
+    Inside the checkpoint the only saved residual is ``oft_blocks`` itself (a
+    parameter already resident in HBM); the Cayley replays in backward for
+    ~m·num·b³ FLOPs — noise next to the matmuls it feeds.
+    """
+    m, num, b, _ = oft_blocks.shape
+    r = _scaled_r(oft_blocks, constraint, scale)
+    dim = num * b
+    if last:
+        cols = math.prod(inp.shape[:-1]) if inp.ndim > 1 else 1
+    else:
+        cols = math.prod(inp.shape[1:]) if inp.ndim > 1 else 1
+    if cols >= dim:
+        q = dense_rotation(r)
+        if last:
+            return jnp.einsum("...j,ij->...i", inp, q, precision=op_precision(q, inp))
+        return jnp.einsum("ij,j...->i...", q, inp, precision=op_precision(q, inp))
+    if last:
+        moved = jnp.moveaxis(inp, -1, 0)
+        return jnp.moveaxis(_chain(moved, r), 0, -1)
+    return _chain(inp, r)
+
+
+# Rematerialized: the chain's per-stage intermediates (m × the input size, or
+# m × (dim, dim) on the dense path) and the Cayley's padded (…, b, b) iterates
+# are cheap to replay and expensive to save — without this the backward keeps
+# every stage live (44 GB at SD1.5 b8 ff). constraint/scale/last are static.
+_rotate_ckpt = jax.checkpoint(_rotate_impl, static_argnums=(2, 3, 4))
+
+
+def rotate_front(inp: jax.Array, oft_blocks: jax.Array, constraint=None,
+                 scale: float = 1.0) -> jax.Array:
+    """Checkpointed butterfly rotation, features on axis 0 (weight layout)."""
+    return _rotate_ckpt(inp, oft_blocks, constraint, scale, False)
+
+
+def rotate_last(inp: jax.Array, oft_blocks: jax.Array, constraint=None,
+                scale: float = 1.0) -> jax.Array:
+    """Checkpointed butterfly rotation, features on the last axis (bypass)."""
+    return _rotate_ckpt(inp, oft_blocks, constraint, scale, True)
+
+
+def diff_weight(org_weight: jax.Array, *weights, constraint=None) -> jax.Array:
+    oft_blocks, rescale = weights
+    org = org_weight.astype(oft_blocks.dtype)
+    inp = rotate_front(org, oft_blocks, constraint)
 
     if rescale is not None:
         inp = inp * rescale
@@ -99,16 +166,14 @@ def bypass_forward_diff(org_out, *weights, constraint=None, need_transpose=False
     """Butterfly-rotate the base outputs (feature axis last); return the delta.
 
     Applied as ``x @ Qᵀ`` with the dense rotation from :func:`dense_rotation`
-    — one MXU matmul instead of m HBM-streaming stages (see dense_rotation)."""
+    when tokens ≥ dim — one MXU matmul instead of m HBM-streaming stages —
+    and as the direct chain otherwise (see :func:`_rotate_impl`)."""
     oft_blocks, rescale = weights
-    I = jnp.eye(oft_blocks.shape[-1], dtype=oft_blocks.dtype)
-    r = get_r(oft_blocks, I, constraint)
-    inp = org = org_out.astype(r.dtype)
+    inp = org = org_out.astype(oft_blocks.dtype)
     if need_transpose:
         inp = org = jnp.swapaxes(inp, 1, -1)
 
-    q = dense_rotation(r)
-    inp = jnp.einsum("...j,ij->...i", inp, q, precision=op_precision(q, inp))
+    inp = rotate_last(inp, oft_blocks, constraint)
 
     if rescale is not None:
         inp = inp * jnp.swapaxes(rescale, 0, -1)

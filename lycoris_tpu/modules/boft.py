@@ -116,22 +116,19 @@ class ButterflyOFTModule(LycorisBaseModule):
             self.constraint if self.constraint > 0 else None,
         )
 
-    def _dense_q(self, params, scale):
-        """The butterfly product as one dense (dim, dim) rotation — a single
-        MXU matmul applies it, vs m HBM-streaming permute/rotate stages
-        (functional.boft.dense_rotation; measured in docs/Guidelines.md)."""
-        from ..functional.boft import dense_rotation
-
-        r = self.get_r(params)
-        if scale != 1:
-            I = jnp.eye(self.boft_b, dtype=r.dtype)
-            r = r * scale + (1 - scale) * I
-        return dense_rotation(r)
-
     def make_weight(self, org_weight, params=None, scale=1.0, diff=False, rng=None, train=False):
-        q = self._dense_q(params, scale)
-        org = org_weight.astype(q.dtype)
-        inp = jnp.einsum("ij,j...->i...", q, org, precision=op_precision(q, org))
+        # rotate_front picks dense-Q vs direct chain by static shape — the
+        # dense (dim, dim) Q OOMs at ff out_dims — and runs the Cayley
+        # transform INSIDE its checkpoint so backward saves only oft_blocks
+        # (functional.boft._rotate_impl)
+        from ..functional.boft import rotate_front
+
+        blocks = self._p(params, "oft_blocks")
+        org = org_weight.astype(blocks.dtype)
+        inp = rotate_front(
+            org, blocks,
+            self.constraint if self.constraint > 0 else None, float(scale),
+        )
         if self.rescaled:
             inp = inp * self._p(params, "rescale")
         if diff:
@@ -162,12 +159,17 @@ class ButterflyOFTModule(LycorisBaseModule):
         return src, scaled, orig_norm * ratio
 
     def _bypass(self, x, params, scale, org_forward, diff):
-        q = self._dense_q(params, scale)
+        from ..functional.boft import rotate_last
+
+        blocks = self._p(params, "oft_blocks")
         org_out = org_forward(x)
-        inp = org = org_out.astype(q.dtype)
+        inp = org = org_out.astype(blocks.dtype)
         if self.layer.is_conv:
             inp = org = jnp.swapaxes(inp, 1, -1)
-        inp = jnp.einsum("...j,ij->...i", inp, q, precision=op_precision(q, inp))
+        inp = rotate_last(
+            inp, blocks,
+            self.constraint if self.constraint > 0 else None, float(scale),
+        )
         if self.rescaled:
             inp = inp * jnp.swapaxes(self._p(params, "rescale"), 0, -1)
         if self.layer.is_conv:

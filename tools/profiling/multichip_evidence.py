@@ -82,15 +82,29 @@ def main():
     compiled = tr._step_fn.lower(*abstract).compile()
 
     hlo = compiled.as_text()
+    dtype_bytes = {"pred": 1, "s8": 1, "u8": 1, "bf16": 2, "f16": 2,
+                   "s16": 2, "u16": 2, "f32": 4, "s32": 4, "u32": 4,
+                   "f64": 8, "s64": 8, "u64": 8}
     counts = {}
     for kind in ("all-reduce", "all-gather", "reduce-scatter",
                  "collective-permute", "all-to-all"):
-        big = 0
-        for m in re.finditer(rf"^\s*%?\S+ = \S+ {kind}\(", hlo, re.M):
-            line = hlo[m.start():hlo.index("\n", m.start())]
-            sizes = [int(x) for x in re.findall(r"\d+", line.split("=")[1][:80])]
-            big += 1
-        counts[kind] = big
+        total = big = big_bytes = 0
+        # e.g. "%all-gather.3 = bf16[640,640]{1,0} all-gather(...)" — the
+        # output may be a tuple "(bf16[..], bf16[..])"; sum every array in it
+        for m in re.finditer(rf"^\s*%?\S+ = (.{{0,400}}?) {kind}\(", hlo, re.M):
+            nbytes = 0
+            for dt, dims in re.findall(r"([a-z]+\d*)\[([0-9,]*)\]", m.group(1)):
+                n = 1
+                for d in dims.split(","):
+                    if d:
+                        n *= int(d)
+                nbytes += n * dtype_bytes.get(dt, 4)
+            total += 1
+            if nbytes >= 2**20:
+                big += 1
+                big_bytes += nbytes
+        counts[kind] = {"count": total, "count_ge_1MiB": big,
+                        "MiB_ge_1MiB": round(big_bytes / 2**20, 1)}
     mem = compiled.memory_analysis()
     out = {
         "model": "sdxl" if use_sdxl else "sd15",
