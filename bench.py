@@ -1,8 +1,11 @@
 """Benchmark: adapter fine-tune steps/sec on one TPU chip.
 
 BASELINE.json names the metric "SDXL LoKr/LoHa train steps/sec/chip", so the
-ONE stdout JSON line this prints is the SDXL LoKr number; the SD1.5 result
-(the only config the reference actually publishes numbers for,
+stdout JSON is the SDXL LoKr number — printed (flushed) the moment it is
+measured, then re-printed as a superset line once the optional LoHa leg adds
+its fields; the driver's last-JSON-line parse always sees the newest complete
+record even if it kills the process mid-leg (r4 lesson: rc=124). The SD1.5
+result (the only config the reference actually publishes numbers for,
 docs/Guidelines.md:54-84) is printed to stderr alongside.
 
 ``vs_baseline`` derivation (the reference publishes NO SDXL throughput):
@@ -240,14 +243,26 @@ def _flops_probe_main():
     print(json.dumps(out))
 
 
-def _derive_sdxl(sdxl, algo, sps_x, sdxl_batch, sd15, sd15_batch, ref):
+def _ref_row(algo: str):
+    """(it/s, label) for the 4090 SD1.5 baseline row. Algos the reference never
+    published (boft, ...) fall back to the lora row, EXPLICITLY labeled as a
+    proxy so the derived vs_baseline is never mistaken for published evidence
+    (r4 advisor finding: a silent `.get(algo, 3.45)` emitted derivation text
+    claiming a '4090 boft' baseline that does not exist)."""
+    ref = REFERENCE_IT_PER_S.get(algo)
+    if ref is None:
+        return REFERENCE_IT_PER_S["lora"], f"lora-proxy (no published {algo} row)"
+    return ref, algo
+
+
+def _derive_sdxl(sdxl, algo, sps_x, sdxl_batch, sd15, sd15_batch, ref, ref_label):
     ratio, src = flops_ratio_live(algo)
     # the 4090 row is it/s at batch 8 — its examples/s is ref*8 regardless of
     # what batch OUR sd15 leg ran at
     derived_examples = ref * 8 / ratio  # 4090 examples/sec at SDXL FLOPs
     sdxl["vs_baseline"] = round(sps_x * sdxl_batch / derived_examples, 4)
     sdxl["baseline_derivation"] = (
-        f"4090 {algo} SD1.5 {ref} it/s*b8 scaled by the "
+        f"4090 {ref_label} SD1.5 {ref} it/s*b8 scaled by the "
         f"per-example no-remat step-FLOPs ratio {ratio:.2f} ({src}); "
         "reference publishes no SDXL throughput"
     )
@@ -258,12 +273,19 @@ def _derive_sdxl(sdxl, algo, sps_x, sdxl_batch, sd15, sd15_batch, ref):
 
 
 def main():
+    # The driver kills the bench at its timeout (r4: rc=124 mid-LoHa-compile
+    # threw away the already-measured graded SDXL number because main()
+    # deferred the stdout JSON until after the LoHa leg). Rule now: every
+    # case's complete JSON line is printed, flushed, THE MOMENT it is
+    # measured; later legs only ever ADD lines. The driver's last-JSON-line
+    # parse then always sees the newest complete record.
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(124))
     algo = os.environ.get("BENCH_ALGO", "lokr")
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     sd15_batch = int(os.environ.get("BENCH_BATCH", "8"))
     sdxl_batch = int(os.environ.get("BENCH_SDXL_BATCH", "4"))
     mode = os.environ.get("BENCH_SDXL", "both")  # 0 = sd15 only, 1 = sdxl only
-    ref = REFERENCE_IT_PER_S.get(algo, 3.45)
+    ref, ref_label = _ref_row(algo)
 
     sd15 = sdxl = None
     if mode != "1":
@@ -276,9 +298,11 @@ def main():
             # the 4090 row (which is it/s at batch 8); identical at b8
             "vs_baseline": round(sps * sd15_batch / (ref * 8), 4),
         }
-        print(json.dumps(sd15), file=sys.stderr)
+        if ref_label != algo:
+            sd15["baseline_note"] = f"vs {ref_label}"
+        print(json.dumps(sd15), file=sys.stderr, flush=True)
         if mode == "0":
-            print(json.dumps(sd15))
+            print(json.dumps(sd15), flush=True)
             return
     sps_x = run_case(True, algo, sdxl_batch, iters)
     sdxl = {
@@ -286,11 +310,16 @@ def main():
         "value": round(sps_x, 4),
         "unit": "steps/sec/chip",
     }
-    _derive_sdxl(sdxl, algo, sps_x, sdxl_batch, sd15, sd15_batch, ref)
+    _derive_sdxl(sdxl, algo, sps_x, sdxl_batch, sd15, sd15_batch, ref, ref_label)
+    # emit the graded line NOW, before the optional LoHa leg spends minutes
+    # compiling — a timeout there must not discard this measured result
+    print(json.dumps(sdxl), flush=True)
 
     # BASELINE.json names the metric "SDXL LoKr/LoHa" — record the LoHa leg
     # alongside whenever the main algo isn't already loha (BENCH_SDXL_LOHA=0
-    # skips the extra compile for quick runs)
+    # skips the extra compile for quick runs). On success we print an UPDATED
+    # superset JSON line (same metric/value + the loha fields); the driver's
+    # last-line parse picks it up, and a kill mid-leg leaves the line above.
     if algo != "loha" and os.environ.get("BENCH_SDXL_LOHA", "1") == "1" and mode == "both":
         try:
             sps_h = run_case(True, "loha", sdxl_batch, iters)
@@ -299,9 +328,9 @@ def main():
             derived_h = ref_h * 8 / ratio_h
             sdxl["sdxl_loha_steps_per_sec"] = round(sps_h, 4)
             sdxl["sdxl_loha_vs_baseline"] = round(sps_h * sdxl_batch / derived_h, 4)
+            print(json.dumps(sdxl), flush=True)
         except Exception as e:
             print(f"[bench] loha SDXL leg failed: {e}", file=sys.stderr)
-    print(json.dumps(sdxl))
 
 
 if __name__ == "__main__":

@@ -242,3 +242,49 @@ def test_geglu_mul_matches_split_form(monkeypatch, geglu_mode):
     # custom vjp must still produce identical grads
     g3 = jax.grad(lambda h: jnp.sum(jax.checkpoint(geglu_mul)(h) * dy))(x)
     np.testing.assert_allclose(np.asarray(g3), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
+def test_boft_chain_path_matches_dense(rng):
+    """Non-square weight (cols < dim) takes the direct-chain branch of
+    functional/boft.py:_rotate_impl — every LAYER_CASES weight is square, so
+    without this the branch (and the scale != 1 blend in _scaled_r) had no
+    coverage (r4 advisor finding). The chain applied to W must equal the
+    dense Q = chain(I) matmul, for both front (weight) and last (bypass)
+    layouts and for scale 1.0 / 0.35."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    w = jax.random.normal(k1, (32, 8))  # dim=32 > cols=8 -> direct chain
+    blocks, _ = boft.weight_gen(w.shape, 4)
+    blocks = blocks + jax.random.normal(k2, blocks.shape) * 0.01
+    wide = jax.random.normal(k3, (32, 64))  # cols >= dim -> dense-Q branch
+    for scale in (1.0, 0.35):
+        r = boft._scaled_r(blocks, None, scale)
+        q = boft.dense_rotation(r)
+        got = boft._rotate_impl(w, blocks, None, scale, False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(q @ w),
+                                   rtol=1e-5, atol=1e-6)
+        # bypass layout: features last, tokens (8) < dim -> moveaxis chain
+        got_last = boft._rotate_impl(w.T, blocks, None, scale, True)
+        np.testing.assert_allclose(np.asarray(got_last), np.asarray((q @ w).T),
+                                   rtol=1e-5, atol=1e-6)
+        # wide input exercises the dense branch with the same Q semantics
+        got_wide = boft._rotate_impl(wide, blocks, None, scale, False)
+        np.testing.assert_allclose(np.asarray(got_wide), np.asarray(q @ wide),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_boft_diff_weight_rect_matches_reference(ref):
+    """Reference golden on a RECTANGULAR weight: our chain-path diff_weight
+    must match the PyTorch reference butterfly loop (boft.py:37-71) on
+    identical params — guards the cols < dim branch end to end."""
+    import torch
+    from lycoris.functional import boft as r_boft
+
+    torch.manual_seed(3)
+    w_t = torch.randn(32, 8)
+    r_params = [p if p is None else p + torch.randn_like(p) * 0.01
+                for p in r_boft.weight_gen(w_t, 4)]
+    j_params = [None if p is None else _t2j(p) for p in r_params]
+    r_diff = r_boft.diff_weight(w_t, *r_params)
+    j_diff = boft.diff_weight(_t2j(w_t), *j_params)
+    np.testing.assert_allclose(np.asarray(j_diff), r_diff.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)

@@ -52,7 +52,7 @@ def main():
     cfg = (sdxl_config if use_sdxl else sd15_config)(
         dtype=jnp.bfloat16, remat=os.environ.get("BENCH_REMAT", "attn_ff"))
     latent_hw = 128 if use_sdxl else 64
-    ctx_dim = cfg.cross_attention_dim
+    ctx_dim = cfg.context_dim
     model = UNet2DConditionModel(cfg)
     rng = jax.random.key(0)
     latents = jnp.zeros((batch, 4, latent_hw, latent_hw), jnp.bfloat16)
@@ -79,7 +79,14 @@ def main():
          tr.base_params, batch_data, rng))
     print(f"[evidence] lowering+compiling {('sdxl' if use_sdxl else 'sd15')} "
           f"b{batch} on ({data},{model_ax}) mesh...", file=sys.stderr)
-    compiled = tr._step_fn.lower(*abstract).compile()
+    lowered = tr._step_fn.lower(*abstract)
+    if os.environ.get("EV_SMOKE") == "1":
+        # smoke mode (tests/test_profiling_tools.py): construction + trace +
+        # lowering is where the r4 launch crash lived; skip the slow compile
+        print(json.dumps({"smoke": True, "model": "sdxl" if use_sdxl else "sd15",
+                          "batch": batch, "mesh": [data, model_ax]}))
+        return
+    compiled = lowered.compile()
 
     hlo = compiled.as_text()
     dtype_bytes = {"pred": 1, "s8": 1, "u8": 1, "bf16": 2, "f16": 2,
@@ -89,11 +96,20 @@ def main():
     for kind in ("all-reduce", "all-gather", "reduce-scatter",
                  "collective-permute", "all-to-all"):
         total = big = big_bytes = 0
-        # e.g. "%all-gather.3 = bf16[640,640]{1,0} all-gather(...)" — the
-        # output may be a tuple "(bf16[..], bf16[..])"; sum every array in it
-        for m in re.finditer(rf"^\s*%?\S+ = (.{{0,400}}?) {kind}\(", hlo, re.M):
+        # e.g. "%all-gather.3 = bf16[640,640]{1,0} all-gather(...)". Post-
+        # scheduling HLO commonly emits async pairs (all-gather-start /
+        # all-gather-done): match the -start form too (the -done only consumes
+        # the start's tuple, so counting starts alone avoids double-counting),
+        # and don't cap the result-type string — large tuples overflow any
+        # fixed window (r4 advisor finding: counts silently read as zero).
+        for m in re.finditer(rf"^\s*%?\S+ = (.*?) {kind}(-start)?\(", hlo, re.M):
+            arrays = re.findall(r"([a-z]+\d*)\[([0-9,]*)\]", m.group(1))
+            # an async start's result tuple is (inputs..., outputs...): keep
+            # the output half so bytes aren't double the sync-form equivalent
+            if m.group(2) and len(arrays) % 2 == 0:
+                arrays = arrays[len(arrays) // 2:]
             nbytes = 0
-            for dt, dims in re.findall(r"([a-z]+\d*)\[([0-9,]*)\]", m.group(1)):
+            for dt, dims in arrays:
                 n = 1
                 for d in dims.split(","):
                     if d:
@@ -103,6 +119,9 @@ def main():
             if nbytes >= 2**20:
                 big += 1
                 big_bytes += nbytes
+        if total == 0 and f" {kind}" in hlo:
+            print(f"[evidence] WARNING: '{kind}' appears in HLO text but the "
+                  "counter matched nothing — regex drift?", file=sys.stderr)
         counts[kind] = {"count": total, "count_ge_1MiB": big,
                         "MiB_ge_1MiB": round(big_bytes / 2**20, 1)}
     mem = compiled.memory_analysis()
