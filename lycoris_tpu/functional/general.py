@@ -498,6 +498,14 @@ def _geglu_mul_fwd(h_full):
 def _geglu_mul_bwd(h_full, dy):
     import os as _os
 
+    mode = _os.environ.get("LYCORIS_TPU_GEGLU", "off")
+    if mode == "dt":
+        from ..ops import geglu as _geglu
+
+        if _geglu.supported(h_full.shape):
+            # one-pass D-major Pallas kernel: no concat/pad materializes
+            # (ops/geglu.py); unsupported small tiers fall through to concat
+            return (_geglu.geglu_bwd_dt(h_full, dy),)
     f = h_full.shape[-1] // 2
     h = h_full[..., :f]
     gate = h_full[..., f:]

@@ -210,12 +210,13 @@ def test_conv_dw_shifts_grad_parity(monkeypatch):
     assert np.isfinite(np.asarray(g2)).all()
 
 
-@pytest.mark.parametrize("geglu_mode", ["off", "dus", "concat"])
+@pytest.mark.parametrize("geglu_mode", ["off", "dus", "concat", "dt"])
 def test_geglu_mul_matches_split_form(monkeypatch, geglu_mode):
     """geglu_mul must match the naive split+gelu form for values and grads in
     EVERY LYCORIS_TPU_GEGLU mode: 'off' (plain autodiff — the default),
     'dus'/'concat' (the _geglu_mul_cvjp custom vjp with DUS- or concat-based
-    backward combine), including under jax.checkpoint."""
+    backward combine), 'dt' (one-pass D-major Pallas backward, ops/geglu.py,
+    interpreter mode on CPU), including under jax.checkpoint."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -224,8 +225,17 @@ def test_geglu_mul_matches_split_form(monkeypatch, geglu_mode):
 
     monkeypatch.setenv("LYCORIS_TPU_GEGLU", geglu_mode)
 
-    x = jax.random.normal(jax.random.key(0), (3, 17, 64), jnp.float32)
-    dy = jax.random.normal(jax.random.key(1), (3, 17, 32), jnp.float32)
+    if geglu_mode == "dt":
+        from lycoris_tpu.ops import geglu as geglu_op
+
+        monkeypatch.setattr(geglu_op, "_INTERPRET", True)
+        # kernel-supported shape (T%512==0, F%256==0); the small-tier
+        # fallback (concat) is covered by the unsupported-shape leg below
+        x = jax.random.normal(jax.random.key(0), (2, 512, 512), jnp.float32)
+        dy = jax.random.normal(jax.random.key(1), (2, 512, 256), jnp.float32)
+    else:
+        x = jax.random.normal(jax.random.key(0), (3, 17, 64), jnp.float32)
+        dy = jax.random.normal(jax.random.key(1), (3, 17, 32), jnp.float32)
 
     def ref(h):
         a, g = jnp.split(h, 2, axis=-1)
@@ -234,14 +244,26 @@ def test_geglu_mul_matches_split_form(monkeypatch, geglu_mode):
     np.testing.assert_allclose(
         np.asarray(geglu_mul(x)), np.asarray(ref(x)), rtol=1e-6, atol=1e-6
     )
+    # the dt kernel's interpret-mode gelu' composes in a slightly different
+    # op order: 2.7e-6 max abs on O(1) grads — still far under bf16 noise
+    atol = 1e-5 if geglu_mode == "dt" else 1e-6
     g1 = jax.grad(lambda h: jnp.sum(geglu_mul(h) * dy))(x)
     g2 = jax.grad(lambda h: jnp.sum(ref(h) * dy))(x)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=atol)
 
     # under jax.checkpoint (the UNet wraps transformers in remat tiers) the
     # custom vjp must still produce identical grads
     g3 = jax.grad(lambda h: jnp.sum(jax.checkpoint(geglu_mul)(h) * dy))(x)
-    np.testing.assert_allclose(np.asarray(g3), np.asarray(g2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g2), rtol=1e-5, atol=atol)
+
+    if geglu_mode == "dt":
+        # unsupported shape must fall back (concat path) and stay correct
+        xs = jax.random.normal(jax.random.key(2), (3, 17, 64), jnp.float32)
+        dys = jax.random.normal(jax.random.key(3), (3, 17, 32), jnp.float32)
+        gs = jax.grad(lambda h: jnp.sum(geglu_mul(h) * dys))(xs)
+        gr = jax.grad(lambda h: jnp.sum(ref(h) * dys))(xs)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_boft_chain_path_matches_dense(rng):
