@@ -72,14 +72,15 @@ def main():
     tr = DiffusionTrainer(model, variables, net, lr=1e-4, mesh=mesh,
                           weight_dtype=jnp.bfloat16, shard_base=True,
                           auto_layout=False)
-    batch_data = {"latents": latents, "context": ctx}
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
-        (tr.adapter_params, tr.adapter_buffers, tr.opt_state,
-         tr.base_params, batch_data, rng))
+    # concrete (device-placed, sharded) trees — lowering with bare
+    # ShapeDtypeStructs loses the input shardings, GSPMD partitions nothing,
+    # and the collective counts silently read zero (first b8 run's mistake)
+    batch_data = shd.shard_batch({"latents": latents, "context": ctx}, mesh)
     print(f"[evidence] lowering+compiling {('sdxl' if use_sdxl else 'sd15')} "
           f"b{batch} on ({data},{model_ax}) mesh...", file=sys.stderr)
-    lowered = tr._step_fn.lower(*abstract)
+    lowered = tr._step_fn.lower(
+        tr.adapter_params, tr.adapter_buffers, tr.opt_state,
+        tr.base_params, batch_data, rng)
     if os.environ.get("EV_SMOKE") == "1":
         # smoke mode (tests/test_profiling_tools.py): construction + trace +
         # lowering is where the r4 launch crash lived; skip the slow compile
