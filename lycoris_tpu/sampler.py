@@ -19,8 +19,12 @@ from .trainer import ddpm_alphas_cumprod
 
 
 def ddim_timesteps(num_inference_steps: int, num_train_timesteps: int = 1000):
+    import numpy as np
+
     step = num_train_timesteps // num_inference_steps
-    return (jnp.arange(num_inference_steps) * step + 1)[::-1]
+    # host array on purpose — closed over by the jitted sampler (see
+    # make_ddim_sampler's schedule note)
+    return (np.arange(num_inference_steps) * step + 1)[::-1].copy()
 
 
 def make_ddim_sampler(
@@ -36,6 +40,10 @@ def make_ddim_sampler(
     ``lambda p, x, t, c: model.apply({"params": p}, x, t, c)`` for merged
     weights, or a ``net(...)``-wrapping closure for live adapters.
     """
+    # ddpm_alphas_cumprod returns a HOST numpy array (see trainer.py: a
+    # closed-over device array becomes an MLIR constant whose value is pulled
+    # through the remote runtime at lowering time); index it with jnp.take so
+    # it stays a numpy jaxpr constant under tracing
     alphas_cumprod = ddpm_alphas_cumprod(num_train_timesteps)
     timesteps = ddim_timesteps(num_inference_steps, num_train_timesteps)
 
@@ -45,10 +53,12 @@ def make_ddim_sampler(
             ctx_all = jnp.concatenate([uncond_ctx, ctx], axis=0)
 
         def body(i, x):
-            t = timesteps[i]
-            t_prev = jnp.where(i + 1 < num_inference_steps, timesteps.at[i + 1].get(mode="clip"), 0)
-            a_t = alphas_cumprod[t]
-            a_prev = jnp.where(t_prev > 0, alphas_cumprod[t_prev], 1.0)
+            t = jnp.take(timesteps, i)
+            t_prev = jnp.where(
+                i + 1 < num_inference_steps,
+                jnp.take(timesteps, i + 1, mode="clip"), 0)
+            a_t = jnp.take(alphas_cumprod, t)
+            a_prev = jnp.where(t_prev > 0, jnp.take(alphas_cumprod, t_prev), 1.0)
 
             if do_cfg:
                 x_in = jnp.concatenate([x, x], axis=0)

@@ -35,8 +35,16 @@ from .parallel import sharding as shd
 
 
 def ddpm_alphas_cumprod(num_steps: int = 1000, beta_start=0.00085, beta_end=0.012):
-    betas = jnp.linspace(beta_start**0.5, beta_end**0.5, num_steps) ** 2
-    return jnp.cumprod(1.0 - betas)
+    """Returns a HOST (numpy) array on purpose: the schedule is closed over by
+    the jitted step, and a closed-over jax.Array becomes an MLIR constant whose
+    value is pulled back through the remote runtime at LOWERING time — on the
+    axon tunnel that single 4 KB `_value` fetch measured 25+ minutes of stall
+    (r5; the CLAUDE.md "never close over device arrays" rule applied to the
+    one leaf that had been missed). A numpy constant embeds directly."""
+    import numpy as np
+
+    betas = np.linspace(beta_start**0.5, beta_end**0.5, num_steps, dtype=np.float32) ** 2
+    return np.cumprod((1.0 - betas).astype(np.float32), dtype=np.float32)
 
 
 class DiffusionTrainer:
@@ -168,7 +176,10 @@ class DiffusionTrainer:
             b = latents.shape[0]
             noise = jax.random.normal(noise_rng, latents.shape, dtype=jnp.float32)
             t = jax.random.randint(t_rng, (b,), 0, alphas_cumprod.shape[0])
-            a = alphas_cumprod[t].reshape(b, 1, 1, 1)
+            # jnp.take keeps the numpy schedule a NUMPY jaxpr constant (plain
+            # [t] would fail on a tracer index; wrapping in jnp.asarray would
+            # re-create the device-array constant the numpy schedule avoids)
+            a = jnp.take(alphas_cumprod, t).reshape(b, 1, 1, 1)
             noisy = (jnp.sqrt(a) * latents.astype(jnp.float32) + jnp.sqrt(1 - a) * noise).astype(wd)
 
             # full adapter tree = buffers overlaid with trainable leaves
