@@ -192,12 +192,35 @@ def lokr_dtheta(x2d, dy2d, w1_full, w2_full, w2_ab=None, want_scalar=False):
         r = a_f.shape[1]
         import os
 
-        if os.environ.get("LYCORIS_TPU_LOKR_PACK", "einsum") != "packed":
+        pack = os.environ.get("LYCORIS_TPU_LOKR_PACK", "einsum")
+        if pack == "hybrid":
+            # r5: big-operand contractions as plain 2D GEMMs on row-major
+            # bitcast views — the r5 SDXL profile shows the rank-3 einsum
+            # forms relayout the BIG x3/dy3 operands ((512,8,8,1280)-shaped
+            # copies, ~17 ms/step over the ff modules) even though they only
+            # contract the minor dim. s/t/dA/dB touch x2d/dy2d in 2D
+            # (m = n·q or n·p rows, contraction on the minor dim, zero
+            # relayout); the W1 chain keeps the rank-3 einsums of the
+            # `einsum` path but only ever on the TINY (n, p|q, r) tensors
+            # (their relayouts measure ~1 ms total) — so none of the packed
+            # path's kron(W1, I_r) extra FLOPs.
+            x2 = x3.reshape(n * q, v)      # row-major collapse — bitcast
+            dy2 = dy3.reshape(n * p, u)
+            s = _e("mv,rv->mr", x2, b_f).reshape(n, q, r)
+            t = _e("mu,ur->mr", dy2, a_f).reshape(n, p, r)
+            dW1 = _dw1("npr,nqr->npq", t, s)
+            qs = _e("pq,nqr->npr", w1_full, s)
+            dA = _e("mu,mr->ur", dy2, qs.reshape(n * p, r))
+            m = _e("pq,npr->nqr", w1_full, t)
+            dB = _e("mr,mv->rv", m.reshape(n * q, r), x2)
+            d_scalar = jnp.sum(t * qs) if want_scalar else None
+            return dW1, (dA, dB), d_scalar
+        if pack != "packed":
             # factored rank-3 einsum forms — the measured DEFAULT. Warm-cache
             # v5e A/B (r3F/r4 matrix): SDXL LoKr b4 einsum 1.319 steps/s vs
             # packed 1.199 (−9%); SD1.5 b8 einsum ~5.78 vs packed 5.68. The
             # packed 2D rewrite below kills the rank-3 relayout copies it
-            # targets but its kron(W1, I_r) contraction does q× the FLOPs —
+            # targets but its flat contraction does q× the FLOPs —
             # net loss at SD shapes. Kept as LYCORIS_TPU_LOKR_PACK=packed
             # (parity-tested) for future A/Bs at other factor sizes.
             s = _e("nqv,rv->nqr", x3, b_f)

@@ -101,7 +101,7 @@ def test_locon_factored_grads(use_scalar, apply_kind):
     _compare(m, apply_kind=apply_kind)
 
 
-@pytest.mark.parametrize("lokr_pack", ["einsum", "packed"])
+@pytest.mark.parametrize("lokr_pack", ["einsum", "packed", "hybrid"])
 @pytest.mark.parametrize("decompose_both", [False, True])
 @pytest.mark.parametrize("full_matrix", [False, True])
 @pytest.mark.parametrize("apply_kind", ["linear", "head_split"])
