@@ -95,7 +95,12 @@ def dot_product_attention(q, k, v, layout="BTHD"):
             else:
                 bq = 256 if d <= 48 else 512
                 bk, bqb, bkb = 512, bq, 1024
-            if os.environ.get("LYCORIS_TPU_FLASH_DT", "1") == "1" and tq >= 2048:
+            if os.environ.get("LYCORIS_TPU_FLASH_BLOCKS"):
+                # experiment knob: "bq,bk,bq_bwd,bk_bwd" override
+                bq, bk, bqb, bkb = (
+                    int(v) for v in os.environ["LYCORIS_TPU_FLASH_BLOCKS"].split(","))
+            dt_min_t = int(os.environ.get("LYCORIS_TPU_FLASH_DT_MIN_T", "2048"))
+            if os.environ.get("LYCORIS_TPU_FLASH_DT", "1") == "1" and tq >= dt_min_t:
                 # D-major kernel: operands pass (B, H, D, T) — the logical
                 # swap matches the T-minor layout the head-split projections
                 # physically emit, so the custom-call boundary needs no HBM
