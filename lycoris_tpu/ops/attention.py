@@ -99,8 +99,23 @@ def dot_product_attention(q, k, v, layout="BTHD"):
                 # experiment knob: "bq,bk,bq_bwd,bk_bwd" override
                 bq, bk, bqb, bkb = (
                     int(v) for v in os.environ["LYCORIS_TPU_FLASH_BLOCKS"].split(","))
-            dt_min_t = int(os.environ.get("LYCORIS_TPU_FLASH_DT_MIN_T", "2048"))
+            # DEFAULT 1024 since r5 (was 2048): with the 512-block dt tiling
+            # below, warm-cache A/B on the exact shipped config measured SDXL
+            # b4 1.3743 -> 1.4422 (+4.9%; the ~26 ms/step of
+            # (4,20,1024,64)-shaped boundary relayout copies in the r5 profile
+            # vanish and the kernel itself gains ~18%) and SD1.5 b8
+            # 6.1884 -> 6.2906 (+1.7%). The r3/r4 "T1024 executes ~1000x
+            # slow" pathology was tied to the small-q-block dt tiling and no
+            # longer reproduces (repro_compile_crash.py REPRO_CH=1280 HW=32
+            # compiles in 23 s and runs).
+            dt_min_t = int(os.environ.get("LYCORIS_TPU_FLASH_DT_MIN_T", "1024"))
             if os.environ.get("LYCORIS_TPU_FLASH_DT", "1") == "1" and tq >= dt_min_t:
+                if tq <= 1024 and not os.environ.get("LYCORIS_TPU_FLASH_BLOCKS"):
+                    # r5 sweep: dt at T1024 was −16/−18% with the std-kernel
+                    # tiling (bq 256/128) but +17.9% (D64) / +17.6% (D80)
+                    # with 512-blocks — the small q-blocks were the whole
+                    # "dt loses at T1024" story (tools/profiling/bench_dt.py)
+                    bq, bk, bqb, bkb = 512, 512, 512, 1024
                 # D-major kernel: operands pass (B, H, D, T) — the logical
                 # swap matches the T-minor layout the head-split projections
                 # physically emit, so the custom-call boundary needs no HBM

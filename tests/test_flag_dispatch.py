@@ -48,12 +48,18 @@ def test_flash_dt_default_fires_at_t4096(monkeypatch):
     assert calls == ["dt"]  # default-on since r4
 
 
-def test_flash_dt_gated_off_below_2048(monkeypatch):
+def test_flash_dt_default_covers_1024(monkeypatch):
+    # r5: T1024 joined the dt path (FLASH_DT_MIN_T default 1024 with the
+    # 512-block tiling); raising MIN_T still gates it back to T-major
     calls = []
     _record_dispatch(monkeypatch, calls)
     monkeypatch.setenv("LYCORIS_TPU_FLASH_DT", "1")
     attn_mod.dot_product_attention(*_qkv(1024, 64))
-    assert calls == ["tmajor"]  # tq<2048: the T1024 execution pathology
+    assert calls == ["dt"]
+    calls.clear()
+    monkeypatch.setenv("LYCORIS_TPU_FLASH_DT_MIN_T", "2048")
+    attn_mod.dot_product_attention(*_qkv(1024, 64))
+    assert calls == ["tmajor"]
 
 
 def test_flash_dt_opt_out(monkeypatch):
