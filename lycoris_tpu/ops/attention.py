@@ -110,11 +110,15 @@ def dot_product_attention(q, k, v, layout="BTHD"):
             # compiles in 23 s and runs).
             dt_min_t = int(os.environ.get("LYCORIS_TPU_FLASH_DT_MIN_T", "1024"))
             if os.environ.get("LYCORIS_TPU_FLASH_DT", "1") == "1" and tq >= dt_min_t:
-                if tq <= 1024 and not os.environ.get("LYCORIS_TPU_FLASH_BLOCKS"):
-                    # r5 sweep: dt at T1024 was −16/−18% with the std-kernel
-                    # tiling (bq 256/128) but +17.9% (D64) / +17.6% (D80)
-                    # with 512-blocks — the small q-blocks were the whole
-                    # "dt loses at T1024" story (tools/profiling/bench_dt.py)
+                if not os.environ.get("LYCORIS_TPU_FLASH_BLOCKS"):
+                    # r5: the D-major kernel wants 512-blocks at EVERY tier.
+                    # T1024 sandwich sweep: dt was −16/−18% with the
+                    # std-kernel tiling (bq 256/128) but +17.9% (D64) /
+                    # +17.6% (D80) with 512s (tools/profiling/bench_dt.py);
+                    # full-graph SD1.5 b8 (T4096/D40 tier was on bq256):
+                    # 6.2906 -> 6.6074 (+5.0%) warm-cache. The old per-D
+                    # bq choices came from the T-MAJOR kernel's sweeps and
+                    # don't transfer to the k-row dt layout.
                     bq, bk, bqb, bkb = 512, 512, 512, 1024
                 # D-major kernel: operands pass (B, H, D, T) — the logical
                 # swap matches the T-minor layout the head-split projections
